@@ -1,0 +1,141 @@
+"""Approximate Earth Mover's Distance (auction-style soft matching).
+
+Re-implements, as fused batched einsums under ``jit``, the fixed 9-round
+approximate matching algorithm of the reference CUDA kernel
+``utils/pytorch_structural_losses/approxmatch.cu``:
+
+* ``approx_match`` — ``approxmatchkernel`` (approxmatch.cu:34-213): rounds at
+  temperatures ``level = -4^j`` for ``j = 7..0`` and ``-0.25`` for the final
+  round, producing a soft match matrix with row budget ``multiL`` and column
+  budget ``multiR`` (integer-division multipliers, approxmatch.cu:36-42).
+* ``match_cost`` — ``matchcostkernel`` (approxmatch.cu:215-255):
+  ``sum(match * |x - y|)`` (Euclidean, not squared), per batch element.
+* custom VJP — ``matchcostgrad{1,2}kernel`` (approxmatch.cu:260-322): the
+  match matrix is treated as a constant; gradients are match-weighted unit
+  vectors. We compute them without materialising the (B, N, M, 3) difference
+  tensor: ``dx = x * rowsum(mt) - mt @ y`` with ``mt = match / dist``.
+
+TPU-first notes: every round is two MXU einsums plus VPU elementwise work;
+the (B, N, M) kernel matrix is recomputed per round (exactly like the CUDA
+kernel) so only one N*M buffer is live at a time. Callers should chunk the
+batch dimension for very large B (see ``earth_mover_distance``).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from hyperpocket_tpu.ops.chamfer import batch_pairwise_sqdist
+
+# Temperatures of the 9 rounds: -4^j for j = 7..0, then -0.25 (the reference
+# loop runs j = 7..-1 with level = -pow(4, j); approxmatch.cu:55-60).
+_LEVELS = tuple(-(4.0 ** j) for j in range(7, -2, -1))
+
+
+def _match_multipliers(n: int, m: int) -> tuple[float, float]:
+    """Row/column budgets with C integer-division semantics (approxmatch.cu:36-42)."""
+    if n >= m:
+        return 1.0, float(n // m)
+    return float(m // n), 1.0
+
+
+def approx_match(x: jax.Array, y: jax.Array) -> jax.Array:
+    """Soft match matrix between x (B, N, 3) and y (B, M, 3) -> (B, N, M).
+
+    ``match[b, k, l]`` is the transported mass between ``x[b, k]`` and
+    ``y[b, l]``; rows sum to ~multiL and columns to ~multiR. Equivalent to the
+    reference ``ApproxMatch`` with layout transposed to the natural (N, M)
+    (the CUDA kernel stores match[l, k]).
+    """
+    n, m = x.shape[1], y.shape[1]
+    multi_l, multi_r = _match_multipliers(n, m)
+    d2 = batch_pairwise_sqdist(x, y)  # (B, N, M)
+
+    def round_fn(carry, level):
+        match, remain_l, remain_r = carry
+        kern = jnp.exp(level * d2)  # (B, N, M)
+        # Row normalisation: how much each x point wants to send per unit mass.
+        suml = jnp.einsum("bnm,bm->bn", kern, remain_r) + 1e-9
+        ratio_l = remain_l / suml
+        # Column feasibility: clip the incoming mass at the remaining budget.
+        sumr = jnp.einsum("bnm,bn->bm", kern, ratio_l) * remain_r
+        consumption = jnp.minimum(remain_r / (sumr + 1e-9), 1.0)
+        ratio_r = consumption * remain_r
+        remain_r = jnp.maximum(0.0, remain_r - sumr)
+        # Transported mass this round.
+        w = kern * ratio_l[:, :, None] * ratio_r[:, None, :]
+        match = match + w
+        remain_l = jnp.maximum(0.0, remain_l - jnp.sum(w, axis=2))
+        return (match, remain_l, remain_r), None
+
+    init = (
+        jnp.zeros_like(d2),
+        jnp.full((x.shape[0], n), multi_l, dtype=x.dtype),
+        jnp.full((x.shape[0], m), multi_r, dtype=x.dtype),
+    )
+    (match, _, _), _ = lax.scan(round_fn, init, jnp.asarray(_LEVELS, dtype=x.dtype))
+    return match
+
+
+def _cost_from_match(x, y, match):
+    d2 = jnp.maximum(batch_pairwise_sqdist(x, y), 0.0)
+    return jnp.sum(match * jnp.sqrt(d2), axis=(1, 2))
+
+
+@jax.custom_vjp
+def match_cost(x: jax.Array, y: jax.Array) -> jax.Array:
+    """Approximate EMD: ``sum(match * |x - y|)`` per cloud pair -> (B,).
+
+    Mirrors the reference ``MatchCostFunction``
+    (utils/pytorch_structural_losses/match_cost.py:5-48): forward runs
+    approx_match + matchcost; backward treats the match as constant.
+    """
+    return _cost_from_match(x, y, approx_match(x, y))
+
+
+def _match_cost_fwd(x, y):
+    match = approx_match(x, y)
+    return _cost_from_match(x, y, match), (x, y, match)
+
+
+def _match_cost_bwd(res, g):
+    x, y, match = res
+    # inv_d = 1/|x_k - y_l| with the CUDA clamp rsqrt(max(d2, 1e-20))
+    # (approxmatch.cu:279,312).
+    d2 = jnp.maximum(batch_pairwise_sqdist(x, y), 1e-20)
+    mt = match * lax.rsqrt(d2)  # (B, N, M)
+    row = jnp.sum(mt, axis=2)  # (B, N)
+    col = jnp.sum(mt, axis=1)  # (B, M)
+    # grad_x[k] = sum_l mt (x_k - y_l);  grad_y[l] = sum_k mt (y_l - x_k)
+    gx = x * row[..., None] - jnp.einsum("bnm,bmd->bnd", mt, y)
+    gy = y * col[..., None] - jnp.einsum("bnm,bnd->bmd", mt, x)
+    g = g[:, None, None]
+    return gx * g, gy * g
+
+
+match_cost.defvjp(_match_cost_fwd, _match_cost_bwd)
+
+
+def earth_mover_distance(sample: jax.Array, ref: jax.Array, batch_size: int | None = None) -> jax.Array:
+    """Normalised approximate EMD per pair: ``match_cost / N`` -> (B,).
+
+    Matches ``utils/metrics.py:44-76`` (``earth_mover_distance`` +
+    ``emd_approx``): requires equal point counts; processes the batch in
+    chunks of at most 300 to bound the live (B, N, M) buffers.
+    """
+    if sample.ndim == 2:
+        sample = sample[None]
+    if ref.ndim == 2:
+        ref = ref[None]
+    b, n = sample.shape[0], sample.shape[1]
+    if ref.shape[1] != n:
+        raise ValueError(f"EMD requires equal point counts, got {n} vs {ref.shape[1]}")
+    if ref.shape[0] != b:
+        raise ValueError(f"sample/ref batch mismatch: {b} vs {ref.shape[0]}")
+    chunk = min(batch_size or b, 300)
+    outs = []
+    for start in range(0, b, chunk):
+        outs.append(match_cost(sample[start : start + chunk], ref[start : start + chunk]))
+    return jnp.concatenate(outs) / float(n)
