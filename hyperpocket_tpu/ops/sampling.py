@@ -42,6 +42,25 @@ def sample_uniform_ball(key: jax.Array, num_points: int, dim: int = 3, *, method
     raise ValueError(f"unknown ball-sampling method: {method!r}")
 
 
+def sample_uniform_ball_batch(
+    key: jax.Array, batch: int, num_points: int, dim: int = 3, *, method: str = "exact", dtype=jnp.float32
+) -> jax.Array:
+    """Batched ball sampling -> (batch, num_points, dim).
+
+    Each batch element gets an independent point set — the TPU-native
+    replacement for the reference's per-sample CPU sampling + H2D copy loop
+    (full_model.py:70-74).
+    """
+    if method == "exact":
+        kd, kr = jax.random.split(key)
+        direction = jax.random.normal(kd, (batch, num_points, dim), dtype=dtype)
+        direction = direction / jnp.maximum(jnp.linalg.norm(direction, axis=-1, keepdims=True), 1e-12)
+        radius = jax.random.uniform(kr, (batch, num_points, 1), dtype=dtype) ** (1.0 / dim)
+        return direction * radius
+    keys = jax.random.split(key, batch)
+    return jax.vmap(lambda k: sample_uniform_ball(k, num_points, dim, method=method, dtype=dtype))(keys)
+
+
 def progressive_normalize(points: jax.Array, epoch: jax.Array, max_epoch: int) -> jax.Array:
     """Push points with norm < coef onto the sphere of radius coef.
 
@@ -71,6 +90,23 @@ def generate_target_network_input(
     ``{"normalization": {"enable": bool, "type": "progressive", "epoch": E}}``.
     """
     pts = sample_uniform_ball(key, num_points, method=method)
+    norm_cfg = config.get("normalization", {})
+    if norm_cfg.get("enable") and norm_cfg.get("type") == "progressive":
+        pts = progressive_normalize(pts, epoch, int(norm_cfg["epoch"]))
+    return pts
+
+
+def generate_target_network_input_batch(
+    config: dict,
+    key: jax.Array,
+    epoch: jax.Array,
+    batch: int,
+    num_points: int,
+    *,
+    method: str = "exact",
+) -> jax.Array:
+    """Batched config-driven sampler -> (batch, num_points, 3)."""
+    pts = sample_uniform_ball_batch(key, batch, num_points, method=method)
     norm_cfg = config.get("normalization", {})
     if norm_cfg.get("enable") and norm_cfg.get("type") == "progressive":
         pts = progressive_normalize(pts, epoch, int(norm_cfg["epoch"]))
