@@ -1,0 +1,86 @@
+"""Dataset protocol and the name-dispatched factory.
+
+Datasets yield ``(existing, missing, gt, label)`` quadruples of numpy arrays
+(clouds in the natural (N, 3) float32 layout), matching the reference item
+contract (datasets/shapenet.py:66-94). ``get_datasets`` mirrors
+datasets/__init__.py:6-34.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Protocol, runtime_checkable
+
+
+@runtime_checkable
+class Dataset(Protocol):
+    def __len__(self) -> int: ...
+
+    def __getitem__(self, idx: int) -> tuple[Any, Any, Any, Any]: ...
+
+
+def get_datasets(config: dict):
+    """name -> (train_dataset, val_dataset_dict, test_dataset_dict).
+
+    Supported names: ``shapenet`` (MissingShapeNet), ``completion``
+    (Completion3D), ``3depn`` (3D-EPN) — the same three families as the
+    reference factory.
+    """
+    name = config["name"]
+    if name == "shapenet":
+        from hyperpocket_tpu.data.shapenet import MissingShapeNetDataset
+
+        common = dict(
+            root_dir=config["path"],
+            classes=config.get("classes", []),
+            is_random_rotated=config.get("is_rotated", False),
+            num_samples=config.get("num_samples", 1),
+            use_pcn_model_list=True,
+        )
+        train = MissingShapeNetDataset(split="train", **common)
+        val = MissingShapeNetDataset.get_validation_datasets(**common)
+        test = MissingShapeNetDataset.get_test_datasets(
+            is_gen=config.get("gen_test_set", False), **common
+        )
+        return train, val, test
+    if name == "completion":
+        from hyperpocket_tpu.data.completion3d import Completion3DDataset
+
+        train = Completion3DDataset(
+            root_dir=config["path"], split="train", classes=config.get("classes", [])
+        )
+        val = Completion3DDataset.get_validation_datasets(
+            config["path"], classes=config.get("classes", [])
+        )
+        test = Completion3DDataset.get_test_datasets(config["path"])
+        return train, val, test
+    if name == "3depn":
+        from hyperpocket_tpu.data.shapenet_3depn import ShapeNet3DEPNDataset
+
+        train = ShapeNet3DEPNDataset(
+            root_dir=config["path"],
+            split="train",
+            classes=config.get("classes", []),
+            num_samples=config.get("num_samples", 4),
+        )
+        val = ShapeNet3DEPNDataset.get_validation_datasets(
+            config["path"], classes=config.get("classes", [])
+        )
+        test = ShapeNet3DEPNDataset.get_test_datasets(
+            config["path"], classes=config.get("classes", [])
+        )
+        return train, val, test
+    raise ValueError(
+        f"Invalid dataset name. Expected `shapenet`, `completion` or `3depn`. Got: `{name}`"
+    )
+
+
+def resample_pcd(pcd, n: int, rng=None):
+    """Random drop/duplicate to exactly n points (reference utils/util.py:95-100)."""
+    import numpy as np
+
+    rand = rng if rng is not None else np.random
+    idx = rand.permutation(pcd.shape[0])
+    if idx.shape[0] < n:
+        idx = np.concatenate([idx, rand.integers(0, pcd.shape[0], size=n - pcd.shape[0])
+                              if rng is not None else rand.randint(pcd.shape[0], size=n - pcd.shape[0])])
+    return pcd[idx[:n]]

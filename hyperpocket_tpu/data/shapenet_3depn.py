@@ -1,0 +1,132 @@
+"""3D-EPN dataset: pre-sliced train/val plies + raw partial-scan test pairs.
+
+Matches reference ``datasets/shapenet_3depn.py``:
+
+* train/val: items from ``slices/{existing,missing,gt}/<cat>/`` with
+  ``num_samples`` slice variants per shape (3depn.py:125-135);
+* test: pairs a partial scan ``<model>__{0..7}__.ply`` (chosen by a fixed
+  ``random.Random(1234)`` stream, 3depn.py:100,107) rotated by the fixed
+  axis-swap matrix (3depn.py:139-143) and resampled to 1024, with the
+  complete cloud resampled to 2048 (3depn.py:106-123);
+* split membership from ``shapenet-official-split.csv`` (3depn.py:80-89).
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+import random
+from os.path import exists, join
+
+import numpy as np
+
+from hyperpocket_tpu.data.category_mapping import synth_id_to_category
+from hyperpocket_tpu.data.plyio import load_ply
+
+_DEFAULT_VAL_CLASSES = ("02691156", "03001627", "04379243")
+
+# z-up -> y-up axis swap used for the raw sdf scans (3depn.py:139-143)
+_AXIS_SWAP = np.array(
+    [[2.22044605e-16, 0.0, 1.0], [0.0, 1.0, 0.0], [-1.0, 0.0, 2.22044605e-16]],
+    dtype=np.float64,
+)
+
+
+def sample_point_cloud_by_n(points: np.ndarray, n_pts: int, rng: random.Random | None = None) -> np.ndarray:
+    """Resample to n points by random choice with replacement (3depn.py:18-49)."""
+    chooser = rng if rng is not None else random
+    n = points.shape[0]
+    if n_pts > n:
+        extra = [chooser.randrange(n) for _ in range(n_pts - n)]
+        return np.concatenate([points, points[extra]], axis=0)
+    if n_pts < n:
+        idx = [chooser.randrange(n) for _ in range(n_pts)]
+        return points[idx]
+    return points
+
+
+def collect_split_by_id(csv_path: str, cat_id: str) -> dict[str, list[str]]:
+    """Parse the official split CSV -> {train/validation/test: [model ids]}."""
+    info: dict[str, list[str]] = {"train": [], "validation": [], "test": []}
+    with open(csv_path) as fh:
+        for i, row in enumerate(csv.reader(fh)):
+            if i == 0 or row[1] != cat_id:
+                continue
+            split = row[-1]
+            key = "validation" if split == "val" else split if split in info else "test"
+            info[key].append(row[-2])
+    return info
+
+
+def _load_mesh_vertices(path: str) -> np.ndarray:
+    """Vertices of a ply (meshes allowed; faces ignored)."""
+    return load_ply(path)
+
+
+class ShapeNet3DEPNDataset:
+    def __init__(self, root_dir: str, split: str = "train", classes=None, num_samples: int = 4):
+        self.root_dir = root_dir
+        self.split = split
+        classes = list(classes or [])
+        if split == "test":
+            if not classes:
+                raise ValueError("3depn test split requires an explicit class")
+            self.cat_pc_root = join(root_dir, "ShapeNetPointCloud", classes[0])
+            self.cat_pc_raw_root = join(root_dir, "shapenet_dim32_sdf_pc", classes[0])
+            names = []
+            with open(join(root_dir, "shapenet-official-split.csv")) as fh:
+                for i, row in enumerate(csv.reader(fh)):
+                    if i == 0 or row[1] != classes[0]:
+                        continue
+                    if row[-1] == "test":
+                        names.append(row[-2])
+            self.shape_names = [
+                n
+                for n in names
+                if exists(join(self.cat_pc_root, n + ".ply"))
+                and exists(join(self.cat_pc_raw_root, f"{n}__0__.ply"))
+            ]
+            self.rng = random.Random(1234)  # fixed stream from the original publication
+        else:
+            self.cat = classes[0]
+            self.shape_names = sorted(os.listdir(join(root_dir, "slices", "gt", classes[0])))
+            self.num_samples = num_samples
+
+    def __len__(self) -> int:
+        if self.split == "test":
+            return len(self.shape_names)
+        return len(self.shape_names) * self.num_samples
+
+    def __getitem__(self, index: int):
+        if self.split == "test":
+            raw_n = self.rng.randint(0, 7)
+            raw = _load_mesh_vertices(
+                join(self.cat_pc_raw_root, f"{self.shape_names[index]}__{raw_n}__.ply")
+            ).astype(np.float64)
+            raw = (_AXIS_SWAP @ raw.T).T
+            raw = sample_point_cloud_by_n(raw, 1024).astype(np.float32)
+            real = _load_mesh_vertices(join(self.cat_pc_root, self.shape_names[index] + ".ply"))
+            real = sample_point_cloud_by_n(real, 2048).astype(np.float32)
+            return raw, 0, real, self.shape_names[index]
+        fname = self.shape_names[index // self.num_samples]
+        scan = str(index % self.num_samples)
+        existing = load_ply(join(self.root_dir, "slices", "existing", self.cat, scan + "~" + fname))
+        missing = load_ply(join(self.root_dir, "slices", "missing", self.cat, scan + "~" + fname))
+        gt = load_ply(join(self.root_dir, "slices", "gt", self.cat, fname))
+        return existing, missing, gt, fname[:-4]
+
+    @classmethod
+    def get_validation_datasets(cls, root_dir, classes=None, **kwargs):
+        classes = list(classes or _DEFAULT_VAL_CLASSES)
+        return {
+            synth_id_to_category[cat]: cls(root_dir=root_dir, split="val", classes=[cat])
+            for cat in classes
+        }
+
+    @classmethod
+    def get_test_datasets(cls, root_dir, classes=None, **kwargs):
+        classes = list(classes or [])
+        return {
+            synth_id_to_category[cat]: cls(root_dir=root_dir, split="test", classes=[cat])
+            for cat in classes
+        }

@@ -1,0 +1,84 @@
+"""Mesh construction and sharding rules.
+
+TPU-native scaling story (SURVEY.md §2 "TPU-native mapping"): the reference
+is single-process single-GPU; here scale-out is expressed as shardings over a
+``jax.sharding.Mesh`` and XLA inserts the collectives over ICI:
+
+* **data axis**: the batch dimension of every cloud/batch array is sharded;
+  gradients are all-reduced by XLA (the DP replacement for the reference's
+  single-GPU loop).
+* **model axis** (optional tensor parallelism): the hypernetwork's fused head
+  matmul — by far the largest weight, (2048, sum(layer sizes)) — is sharded
+  column-wise, as is the last trunk layer's output dim. XLA turns the decode
+  that consumes the flat weight vector into an all-gather over ICI.
+
+No NCCL/MPI anywhere: single-controller JAX; multi-host would only add
+``jax.distributed.initialize`` with the same shardings.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(n_data: int | None = None, n_model: int = 1, *, devices=None) -> Mesh:
+    """Build a (data, model) mesh. Defaults to all devices on the data axis."""
+    devices = list(devices if devices is not None else jax.devices())
+    if n_data is None:
+        n_data = len(devices) // n_model
+    used = n_data * n_model
+    if used > len(devices):
+        raise ValueError(f"mesh {n_data}x{n_model} needs {used} devices, have {len(devices)}")
+    grid = np.asarray(devices[:used]).reshape(n_data, n_model)
+    return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
+
+
+def batch_spec() -> P:
+    return P(DATA_AXIS)
+
+
+def shard_batch(mesh: Mesh, *arrays):
+    """Place batch arrays with the batch dim sharded over the data axis."""
+    sharding = NamedSharding(mesh, P(DATA_AXIS))
+    out = tuple(jax.device_put(a, sharding) for a in arrays)
+    return out[0] if len(out) == 1 else out
+
+
+def replicate(mesh: Mesh, tree):
+    return jax.device_put(tree, NamedSharding(mesh, P()))
+
+
+def param_shardings(mesh: Mesh, params: dict) -> Any:
+    """PartitionSpec tree for FullModel params.
+
+    With a nontrivial model axis the hypernetwork fused heads (and the last
+    trunk layer feeding them) are sharded column-wise; everything else is
+    replicated.
+    """
+    use_tp = mesh.shape.get(MODEL_AXIS, 1) > 1
+
+    def spec_for(path: tuple, leaf) -> P:
+        if not use_tp:
+            return P()
+        keys = [getattr(p, "key", getattr(p, "idx", None)) for p in path]
+        if "hyper_network" in keys and "heads" in keys:
+            if keys[-1] == "w":
+                return P(None, MODEL_AXIS)
+            if keys[-1] == "b":
+                return P(MODEL_AXIS)
+        return P()
+
+    specs = jax.tree_util.tree_map_with_path(spec_for, params)
+    return jax.tree_util.tree_map(lambda s: NamedSharding(mesh, s), specs,
+                                  is_leaf=lambda x: isinstance(x, P))
+
+
+def shard_params(mesh: Mesh, params: dict):
+    return jax.tree_util.tree_map(jax.device_put, params, param_shardings(mesh, params))

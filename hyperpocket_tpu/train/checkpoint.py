@@ -1,0 +1,102 @@
+"""Checkpoint save/restore with the reference's epoch policies.
+
+Layout mirrors the reference results dir (core/main.py:162-169):
+``weights/{epoch:05}_model.npz`` (params), ``{epoch:05}_O.npz`` (optimizer
+state), ``{epoch:05}_S.json`` (scheduler bookkeeping), and
+``metrics/{epoch:05}_{train,val}.npy`` loss curves.
+
+Restore policies are ``latest`` / ``best_val`` (argmin of the saved val
+curve + 1) / explicit int — core/setup.py:80-101.
+
+Pytrees are serialised positionally: leaves in ``tree_flatten`` order into a
+single ``.npz``; restore requires a template with the same treedef, which the
+caller always has (params/opt-state are rebuilt from config before restore).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from os import listdir, makedirs
+from os.path import exists, join
+
+import jax
+import numpy as np
+
+_EPOCH_RE = re.compile(r"^(?P<n>\d+)_(model\.npz|model\.pth|[DEG]\.pth)$")
+
+
+def save_tree(path: str, tree) -> None:
+    leaves = jax.tree_util.tree_leaves(tree)
+    np.savez(path, *[np.asarray(leaf) for leaf in leaves])
+
+
+def load_tree(path: str, template):
+    leaves, treedef = jax.tree_util.tree_flatten(template)
+    with np.load(path) as data:
+        loaded = [data[f"arr_{i}"] for i in range(len(data.files))]
+    if len(loaded) != len(leaves):
+        raise ValueError(
+            f"{path}: checkpoint has {len(loaded)} leaves, template has {len(leaves)}"
+        )
+    out = []
+    for i, (saved, leaf) in enumerate(zip(loaded, leaves)):
+        if np.shape(saved) != np.shape(leaf):
+            raise ValueError(
+                f"{path}: leaf {i} shape mismatch {np.shape(saved)} vs {np.shape(leaf)}"
+            )
+        out.append(jax.numpy.asarray(saved, dtype=np.asarray(leaf).dtype))
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
+def find_latest_epoch(dirpath: str) -> int:
+    """Max epoch among saved weights (reference utils/util.py:13-23)."""
+    if exists(join(dirpath, "weights")):
+        dirpath = join(dirpath, "weights")
+    if not exists(dirpath):
+        return 0
+    epochs = [int(m.group("n")) for f in listdir(dirpath) if (m := _EPOCH_RE.match(f))]
+    return max(epochs) if epochs else 0
+
+
+def resolve_restore_epoch(metrics_path: str, epoch: int, restore_policy) -> int:
+    if restore_policy == "latest":
+        return epoch
+    if restore_policy == "best_val":
+        val = np.load(join(metrics_path, f"{epoch:05}_val.npy"), allow_pickle=True)
+        return int(np.argmin(val)) + 1
+    try:
+        return int(restore_policy)
+    except (TypeError, ValueError):
+        raise ValueError(
+            "`[epoch]` value can take only values: `latest`, `best_val` or positive integer"
+        )
+
+
+def save_checkpoint(weights_path: str, metrics_path: str, epoch: int, params, opt_state,
+                    scheduler_state: dict, train_losses, val_losses) -> None:
+    makedirs(weights_path, exist_ok=True)
+    makedirs(metrics_path, exist_ok=True)
+    save_tree(join(weights_path, f"{epoch:05}_model.npz"), params)
+    save_tree(join(weights_path, f"{epoch:05}_O.npz"), opt_state)
+    with open(join(weights_path, f"{epoch:05}_S.json"), "w") as fh:
+        json.dump(scheduler_state, fh)
+    np.save(join(metrics_path, f"{epoch:05}_train"), np.array(train_losses))
+    np.save(join(metrics_path, f"{epoch:05}_val"), np.array(val_losses))
+
+
+def restore_model_state(weights_path: str, metrics_path: str, epoch: int, restore_policy,
+                        params, opt_state=None):
+    """Restore params (and optionally optimizer state); returns (epoch, params, opt_state)."""
+    epoch = resolve_restore_epoch(metrics_path, epoch, restore_policy)
+    params = load_tree(join(weights_path, f"{epoch:05}_model.npz"), params)
+    if opt_state is not None:
+        opt_state = load_tree(join(weights_path, f"{epoch:05}_O.npz"), opt_state)
+    return epoch, params, opt_state
+
+
+def restore_metrics(metrics_path: str, epoch: int):
+    """(train_losses, val_losses, best_val) — reference core/setup.py:104-107."""
+    train = np.load(join(metrics_path, f"{epoch:05}_train.npy"), allow_pickle=True)
+    val = np.load(join(metrics_path, f"{epoch:05}_val.npy"), allow_pickle=True)
+    return train.tolist(), val.tolist(), float(np.min(val))

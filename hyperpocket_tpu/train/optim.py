@@ -1,0 +1,124 @@
+"""Optimizer + LR-scheduler registry with torch-name compatibility.
+
+The reference resolves optimizers/schedulers reflectively by class name from
+``torch.optim`` (core/main.py:62-66); here the same config schema
+(``{"type": "Adam", "hyperparams": {...}}``) maps onto optax transforms with
+matching update semantics:
+
+* Adam: L2 weight decay is *coupled* (added to the gradient before the
+  moment estimates), like torch.optim.Adam.
+* AdamW: decoupled decay, like torch.optim.AdamW.
+* Schedulers step per *epoch* (scheduler.step() after each epoch,
+  core/main.py:108): we expose ``make_lr_schedule`` returning
+  ``lr_for_epoch(epoch)`` with torch's convention that epoch 1 runs at the
+  base LR (the internal counter starts at 0).
+
+The optimizer is wrapped in ``optax.inject_hyperparams`` so the per-epoch LR
+is a leaf of the optimizer state — updated on the host between epochs, no
+recompilation.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable
+
+import optax
+
+
+def make_optimizer(opt_config: dict) -> optax.GradientTransformation:
+    """Build an optax optimizer from a reference-schema optimizer config."""
+    kind = opt_config["type"]
+    hp = dict(opt_config.get("hyperparams", {}))
+    lr = float(hp.pop("lr", 1e-3))
+
+    if kind in ("Adam", "AdamW"):
+        b1, b2 = hp.pop("betas", (0.9, 0.999))
+        eps = float(hp.pop("eps", 1e-8))
+        wd = float(hp.pop("weight_decay", 0.0))
+        amsgrad = bool(hp.pop("amsgrad", False))
+
+        def build(learning_rate):
+            parts = []
+            if kind == "Adam" and wd:
+                parts.append(optax.add_decayed_weights(wd))  # coupled L2
+            parts.append(
+                optax.scale_by_amsgrad(b1=float(b1), b2=float(b2), eps=eps)
+                if amsgrad
+                else optax.scale_by_adam(b1=float(b1), b2=float(b2), eps=eps)
+            )
+            if kind == "AdamW" and wd:
+                parts.append(optax.add_decayed_weights(wd))  # decoupled
+            parts.append(optax.scale_by_learning_rate(learning_rate))
+            return optax.chain(*parts)
+
+    elif kind == "SGD":
+        momentum = float(hp.pop("momentum", 0.0))
+        wd = float(hp.pop("weight_decay", 0.0))
+        nesterov = bool(hp.pop("nesterov", False))
+
+        def build(learning_rate):
+            parts = []
+            if wd:
+                parts.append(optax.add_decayed_weights(wd))
+            if momentum:
+                parts.append(optax.trace(decay=momentum, nesterov=nesterov))
+            parts.append(optax.scale_by_learning_rate(learning_rate))
+            return optax.chain(*parts)
+
+    elif kind == "RMSprop":
+        alpha = float(hp.pop("alpha", 0.99))
+        eps = float(hp.pop("eps", 1e-8))
+        wd = float(hp.pop("weight_decay", 0.0))
+
+        def build(learning_rate):
+            parts = []
+            if wd:
+                parts.append(optax.add_decayed_weights(wd))
+            parts.append(optax.scale_by_rms(decay=alpha, eps=eps))
+            parts.append(optax.scale_by_learning_rate(learning_rate))
+            return optax.chain(*parts)
+
+    else:
+        raise ValueError(f"unsupported optimizer type: {kind!r}")
+
+    return optax.inject_hyperparams(build)(learning_rate=lr)
+
+
+def set_learning_rate(opt_state, lr: float):
+    """Update the injected LR leaf in-place (host-side, between epochs)."""
+    opt_state.hyperparams["learning_rate"] = lr
+    return opt_state
+
+
+def make_lr_schedule(sched_config: dict | None, base_lr: float) -> Callable[[int], float]:
+    """Return ``lr_for_epoch(epoch)`` for 1-indexed epochs.
+
+    torch semantics: the scheduler's internal counter is ``epoch - 1`` while
+    epoch ``e`` is running (scheduler.step() fires at the end of each epoch).
+    """
+    if not sched_config:
+        return lambda epoch: base_lr
+    kind = sched_config["type"]
+    hp = dict(sched_config.get("hyperparams", {}))
+
+    if kind == "StepLR":
+        step_size = int(hp["step_size"])
+        gamma = float(hp.get("gamma", 0.1))
+        return lambda epoch: base_lr * gamma ** ((epoch - 1) // step_size)
+    if kind == "MultiStepLR":
+        milestones = sorted(int(m) for m in hp["milestones"])
+        gamma = float(hp.get("gamma", 0.1))
+        return lambda epoch: base_lr * gamma ** sum(1 for m in milestones if (epoch - 1) >= m)
+    if kind == "ExponentialLR":
+        gamma = float(hp["gamma"])
+        return lambda epoch: base_lr * gamma ** (epoch - 1)
+    if kind == "CosineAnnealingLR":
+        t_max = int(hp["T_max"])
+        eta_min = float(hp.get("eta_min", 0.0))
+        return lambda epoch: eta_min + (base_lr - eta_min) * (
+            1 + math.cos(math.pi * (epoch - 1) / t_max)
+        ) / 2
+    if kind in ("ConstantLR", "LambdaLR", "None"):
+        return lambda epoch: base_lr
+    raise ValueError(f"unsupported lr_scheduler type: {kind!r}")

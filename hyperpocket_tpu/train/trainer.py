@@ -1,0 +1,301 @@
+"""Epoch driver: jitted train/val steps, checkpoint cadence, observability.
+
+Control flow mirrors the reference orchestrator (core/main.py:24-174) and
+epoch loops (core/epoch_loops.py), with the TPU-native changes:
+
+* the whole optimizer step (forward + Chamfer/KLD + backward + update) is ONE
+  jitted, donated function — no per-batch H2D chatter beyond the input batch;
+* the per-epoch LR schedule writes a host-side scalar into the optax
+  ``inject_hyperparams`` state (no recompile);
+* batches are sharded over the mesh's data axis when a mesh is given;
+* epoch loss aggregation is corrected: the reference accumulates into the
+  loss tensors themselves (epoch_loops.py:32-36), so its reported epoch
+  losses are last-batch-only — a known bug we do NOT replicate (SURVEY §3.1).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import time
+from dataclasses import dataclass
+from functools import partial
+from os import makedirs
+from os.path import join
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hyperpocket_tpu.data import get_datasets
+from hyperpocket_tpu.data.loader import BatchLoader
+from hyperpocket_tpu.models import FullModel
+from hyperpocket_tpu.parallel.mesh import DATA_AXIS, make_mesh, replicate, shard_batch
+from hyperpocket_tpu.train import checkpoint as ckpt
+from hyperpocket_tpu.train.config import get_results_dir_path
+from hyperpocket_tpu.train.losses import kld_loss, reconstruction_loss
+from hyperpocket_tpu.train.optim import make_lr_schedule, make_optimizer, set_learning_rate
+from hyperpocket_tpu.utils.logging_setup import logging_setup, seed_setup
+
+
+def make_train_step(model: FullModel, tx, loss_coef: float):
+    """Returns jitted step(params, opt_state, existing, missing, gt, key, epoch)."""
+
+    @partial(jax.jit, static_argnames=("num_points",), donate_argnums=(0, 1))
+    def step(params, opt_state, existing, missing, gt, key, epoch, num_points):
+        def loss_fn(p):
+            rec, mu, sigma = model.apply(
+                p, existing, missing, key, epoch, num_output_points=num_points, training=True
+            )
+            loss_r = reconstruction_loss(gt, rec, loss_coef)
+            if model.has_generativity:
+                loss_k = kld_loss(mu, sigma, existing.shape[0])
+            else:
+                loss_k = jnp.zeros(())
+            return loss_r + loss_k, (loss_r, loss_k, rec)
+
+        import optax
+
+        (loss, (loss_r, loss_k, rec)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss, loss_r, loss_k, rec
+
+    return step
+
+
+def make_val_step(model: FullModel, loss_coef: float):
+    @partial(jax.jit, static_argnames=("num_points",))
+    def step(params, existing, missing, gt, key, epoch, num_points):
+        rec = model.apply(
+            params, existing, missing, key, epoch, num_output_points=num_points, training=False
+        )
+        return reconstruction_loss(gt, rec, loss_coef), rec
+
+    return step
+
+
+@dataclass
+class EpochStats:
+    loss_all: float
+    loss_r: float
+    loss_kld: float
+
+
+class Trainer:
+    """End-to-end training session built from a reference-schema config."""
+
+    def __init__(self, config: dict, *, datasets=None, use_mesh: bool | None = None):
+        self.config = config
+        seed_setup(config["setup"]["seed"])
+        self.key = jax.random.key(config["setup"]["seed"])
+
+        self.result_dir = get_results_dir_path(config, "training")
+        self.weights_path = join(self.result_dir, "weights")
+        self.metrics_path = join(self.result_dir, "metrics")
+        self.samples_path = join(self.result_dir, "samples")
+        for d in (self.result_dir, self.weights_path, self.metrics_path, self.samples_path):
+            makedirs(d, exist_ok=True)
+        with open(join(self.result_dir, "last_config.json"), "w") as fh:
+            json.dump(config, fh)
+        logging_setup(self.result_dir)
+        self.log = logging.getLogger("hyperpocket_tpu")
+
+        self.model = FullModel.from_config(config["full_model"])
+        self.params = self.model.init(self._next_key())
+
+        tr = config["training"]
+        self.loss_coef = float(tr.get("loss_coef", 0.05))
+        self.max_epoch = int(tr["max_epoch"])
+        self.save_freq = int(tr.get("state_save_frequency", 1))
+        self.min_save_epoch = int(tr.get("min_save_epoch", 0))
+        self.tx = make_optimizer(tr["optimizer"])
+        base_lr = float(tr["optimizer"].get("hyperparams", {}).get("lr", 1e-3))
+        self.lr_schedule = make_lr_schedule(tr.get("lr_scheduler"), base_lr)
+        self.opt_state = self.tx.init(self.params)
+
+        # Data
+        if datasets is None:
+            datasets = get_datasets(config["dataset"])
+        self.train_dataset, self.val_dataset_dict, self.test_dataset_dict = datasets
+        dl_cfg = tr.get("dataloader", {})
+        tcfg = dict(dl_cfg.get("train", {"batch_size": 8}))
+        vcfg = dict(dl_cfg.get("val", {"batch_size": 8}))
+        self.train_loader = BatchLoader(
+            self.train_dataset,
+            tcfg.get("batch_size", 8),
+            shuffle=tcfg.get("shuffle", True),
+            drop_last=tcfg.get("drop_last", True),
+            num_workers=tcfg.get("num_workers", 8),
+            seed=config["setup"]["seed"],
+        )
+        self.val_loaders = {
+            cat: BatchLoader(
+                ds,
+                vcfg.get("batch_size", 8),
+                shuffle=False,
+                drop_last=vcfg.get("drop_last", False),
+                num_workers=vcfg.get("num_workers", 8),
+            )
+            for cat, ds in self.val_dataset_dict.items()
+        }
+
+        # Mesh: data-parallel over all devices when the batch divides evenly.
+        n_dev = len(jax.devices())
+        if use_mesh is None:
+            use_mesh = n_dev > 1 and tcfg.get("batch_size", 8) % n_dev == 0
+        self.mesh = make_mesh(n_dev, 1) if use_mesh else None
+        if self.mesh is not None:
+            self.params = replicate(self.mesh, self.params)
+            self.opt_state = replicate(self.mesh, self.opt_state)
+            self.log.info("data-parallel mesh over %d devices", n_dev)
+
+        self.train_step = make_train_step(self.model, self.tx, self.loss_coef)
+        self.val_step = make_val_step(self.model, self.loss_coef)
+        self.uses_missing = self.model.mode != "hyper_rec"
+
+        self.train_losses: list[np.ndarray] = []
+        self.val_losses: list[np.ndarray] = []
+        self.best_epoch_loss = np.inf
+        self.start_epoch = 1
+        self._maybe_restore()
+
+    # ------------------------------------------------------------------
+    def _next_key(self):
+        self.key, sub = jax.random.split(self.key)
+        return sub
+
+    def _maybe_restore(self):
+        latest = ckpt.find_latest_epoch(self.weights_path)
+        if latest <= 0:
+            return
+        epoch, self.params, self.opt_state = ckpt.restore_model_state(
+            self.weights_path, self.metrics_path, latest, "latest", self.params, self.opt_state
+        )
+        self.train_losses, self.val_losses, self.best_epoch_loss = ckpt.restore_metrics(
+            self.metrics_path, epoch
+        )
+        self.start_epoch = epoch + 1
+        self.log.info("restored epoch %d", epoch)
+
+    def _device_batch(self, *arrays):
+        arrays = tuple(jnp.asarray(a) for a in arrays)
+        if self.mesh is not None and all(a.shape[0] % self.mesh.shape[DATA_AXIS] == 0 for a in arrays):
+            return shard_batch(self.mesh, *arrays)
+        return arrays if len(arrays) > 1 else arrays[0]
+
+    def _prep_missing(self, missing, batch):
+        """HyperRec ignores missing; Completion3D yields scalar placeholders."""
+        if not self.uses_missing or not isinstance(missing, np.ndarray) or missing.ndim != 3:
+            return None
+        return missing
+
+    # ------------------------------------------------------------------
+    def train_epoch(self, epoch: int) -> tuple[EpochStats, tuple]:
+        set_learning_rate(self.opt_state, self.lr_schedule(epoch))
+        sums = np.zeros(3)
+        n_batches = 0
+        latest = None
+        ep = jnp.asarray(float(epoch))
+        for existing, missing, gt, _ in self.train_loader.epoch(epoch):
+            missing = self._prep_missing(missing, existing.shape[0])
+            arrays = (existing, gt) if missing is None else (existing, missing, gt)
+            dev = self._device_batch(*arrays)
+            if missing is None:
+                d_existing, d_gt = dev
+                d_missing = None
+            else:
+                d_existing, d_missing, d_gt = dev
+            self.params, self.opt_state, loss, loss_r, loss_k, rec = self.train_step(
+                self.params, self.opt_state, d_existing, d_missing, d_gt,
+                self._next_key(), ep, num_points=int(gt.shape[1]),
+            )
+            sums += np.array([float(loss), float(loss_r), float(loss_k)])
+            n_batches += 1
+            latest = (existing, gt, np.asarray(rec))
+        stats = EpochStats(*(sums / max(n_batches, 1)))
+        return stats, latest
+
+    def val_epoch(self, epoch: int):
+        """Per-category no-grad loss + one sample per category (epoch_loops.py:49-83)."""
+        val_losses: dict[str, np.ndarray] = {}
+        val_samples: dict[str, tuple] = {}
+        ep = jnp.asarray(float(epoch))
+        for cat, loader in self.val_loaders.items():
+            total, n = 0.0, 0
+            last = None
+            for existing, missing, gt, _ in loader.epoch(epoch):
+                missing = self._prep_missing(missing, existing.shape[0])
+                loss, rec = self.val_step(
+                    self.params, jnp.asarray(existing),
+                    None if missing is None else jnp.asarray(missing),
+                    jnp.asarray(gt), self._next_key(), ep, num_points=int(gt.shape[1]),
+                )
+                total += float(loss)
+                n += 1
+                last = (existing[0], gt[0], np.asarray(rec)[0])
+            val_losses[cat] = np.array([total / max(n, 1)])
+            val_samples[cat] = last
+        total = sum(v for v in val_losses.values())
+        val_losses["total"] = total / max(len(val_losses), 1)
+        return val_losses, val_samples
+
+    # ------------------------------------------------------------------
+    def run(self, *, plot_samples: bool = True, tg_logger=None):
+        for epoch in range(self.start_epoch, self.max_epoch + 1):
+            t0 = time.monotonic()
+            stats, latest = self.train_epoch(epoch)
+            self.train_losses.append(np.array([stats.loss_all, stats.loss_r, stats.loss_kld]))
+
+            msg = (
+                f"[{epoch}/{self.max_epoch}] Loss_ALL: {stats.loss_all:.4f} "
+                f"Loss_R: {stats.loss_r:.4f} Loss_E: {stats.loss_kld:.4f} "
+                f"Time: {time.monotonic() - t0:.1f}s"
+            )
+            self.log.info(msg)
+
+            plots = []
+            if plot_samples and latest is not None:
+                from hyperpocket_tpu.utils.plotting import save_plot
+
+                l_existing, l_gt, l_rec = latest
+                for k in range(min(5, l_rec.shape[0])):
+                    plots.append(save_plot(l_existing[k].T, epoch, k, self.samples_path, "existing"))
+                    plots.append(save_plot(l_rec[k].T, epoch, k, self.samples_path, "reconstructed"))
+                    plots.append(save_plot(l_gt[k].T, epoch, k, self.samples_path, "gt"))
+            if tg_logger is not None:
+                tg_logger.log_images(plots[:9], msg)
+
+            epoch_val_losses, epoch_val_samples = self.val_epoch(epoch)
+            is_new_best = float(epoch_val_losses["total"][0]) < self.best_epoch_loss
+            if is_new_best:
+                self.best_epoch_loss = float(epoch_val_losses["total"][0])
+            self.val_losses.append(epoch_val_losses["total"])
+
+            val_msg = f"val results[{self.loss_coef}*our_cd]:\n" + "".join(
+                f"{k}: {v}\n" for k, v in epoch_val_losses.items()
+            )
+            if is_new_best:
+                val_msg += "new best epoch"
+            self.log.info(val_msg)
+
+            if plot_samples:
+                from hyperpocket_tpu.utils.plotting import save_plot
+
+                for cat, sample in epoch_val_samples.items():
+                    if sample is None:
+                        continue
+                    save_plot(sample[0].T, epoch, cat, self.samples_path, "val_existing")
+                    save_plot(sample[2].T, epoch, cat, self.samples_path, "val_rec")
+                    save_plot(sample[1].T, epoch, cat, self.samples_path, "val_gt")
+
+            if (epoch % self.save_freq == 0 or is_new_best) and epoch > self.min_save_epoch:
+                ckpt.save_checkpoint(
+                    self.weights_path, self.metrics_path, epoch, self.params, self.opt_state,
+                    {"epoch": epoch, "lr": self.lr_schedule(epoch)},
+                    self.train_losses, self.val_losses,
+                )
+                self.log.debug("Epoch: %s saved", epoch)
+                if tg_logger is not None:
+                    tg_logger.log(f"Epoch: {epoch} saved")
+        return self.train_losses, self.val_losses

@@ -1,0 +1,174 @@
+"""Data layer: PLY I/O roundtrips, slicer property, datasets on synthetic trees."""
+
+import os
+from os.path import join
+
+import numpy as np
+import pytest
+
+from hyperpocket_tpu.data import load_ply, save_ply, slice_point_cloud
+from hyperpocket_tpu.data.base import get_datasets, resample_pcd
+from hyperpocket_tpu.data.loader import BatchLoader, collate
+from hyperpocket_tpu.data.shapenet import MissingShapeNetDataset
+from hyperpocket_tpu.data.slicer import HyperPlane
+
+
+def test_ply_roundtrip(tmp_path):
+    pts = np.random.default_rng(0).standard_normal((777, 3)).astype(np.float32)
+    p = tmp_path / "cloud.ply"
+    save_ply(p, pts)
+    back = load_ply(p)
+    np.testing.assert_array_equal(back, pts)
+
+
+def test_ply_ascii(tmp_path):
+    pts = np.array([[1.5, 2.5, 3.5], [-1, 0, 2]], dtype=np.float32)
+    p = tmp_path / "a.ply"
+    with open(p, "w") as fh:
+        fh.write(
+            "ply\nformat ascii 1.0\nelement vertex 2\n"
+            "property float x\nproperty float y\nproperty float z\nend_header\n"
+            "1.5 2.5 3.5\n-1 0 2\n"
+        )
+    np.testing.assert_allclose(load_ply(p), pts)
+
+
+def test_ply_extra_properties(tmp_path):
+    """binary PLY with extra per-vertex columns (e.g. normals) still loads xyz."""
+    n = 10
+    pts = np.random.default_rng(1).standard_normal((n, 3)).astype("<f4")
+    extra = np.random.default_rng(2).standard_normal((n,)).astype("<f4")
+    p = tmp_path / "b.ply"
+    header = (
+        "ply\nformat binary_little_endian 1.0\n"
+        f"element vertex {n}\n"
+        "property float x\nproperty float y\nproperty float z\n"
+        "property float confidence\nend_header\n"
+    )
+    rec = np.empty(n, dtype=[("x", "<f4"), ("y", "<f4"), ("z", "<f4"), ("c", "<f4")])
+    rec["x"], rec["y"], rec["z"], rec["c"] = pts[:, 0], pts[:, 1], pts[:, 2], extra
+    with open(p, "wb") as fh:
+        fh.write(header.encode())
+        fh.write(rec.tobytes())
+    np.testing.assert_array_equal(load_ply(p), pts)
+
+
+def test_ply_rejects_garbage(tmp_path):
+    p = tmp_path / "bad.ply"
+    p.write_bytes(b"not a ply at all")
+    with pytest.raises(ValueError):
+        load_ply(p)
+
+
+def test_slicer_exact_split():
+    rng = np.random.default_rng(3)
+    pts = rng.standard_normal((2048, 3)).astype(np.float32)
+    existing, missing = slice_point_cloud(pts, 1024, rng=rng)
+    assert existing.shape == (1024, 3)
+    assert missing.shape == (1024, 3)
+    # together they are a permutation of the input
+    both = np.concatenate([existing, missing])
+    assert sorted(map(tuple, both)) == sorted(map(tuple, pts))
+
+
+def test_hyperplane_sign():
+    plane = HyperPlane(np.array([0.0, 0.0, 1.0]), 0.0)
+    signs = plane.check_point(np.array([[0, 0, 1.0], [0, 0, -1.0]]))
+    assert signs[0] > 0 > signs[1]
+
+
+def test_resample_pcd_sizes():
+    pts = np.arange(30).reshape(10, 3).astype(np.float32)
+    up = resample_pcd(pts, 25)
+    down = resample_pcd(pts, 4)
+    assert up.shape == (25, 3) and down.shape == (4, 3)
+    # all rows must come from the original cloud
+    orig = set(map(tuple, pts))
+    assert set(map(tuple, up)) <= orig
+
+
+# ---------------------------------------------------------------------------
+# synthetic MissingShapeNet tree
+# ---------------------------------------------------------------------------
+
+CAT = "02691156"  # airplane
+
+
+def make_synthetic_shapenet(root, n_models=6, num_samples=1, n_gt=128, n_part=64, seed=0):
+    rng = np.random.default_rng(seed)
+    os.makedirs(join(root, CAT), exist_ok=True)
+    names = []
+    for i in range(n_models):
+        name = f"model{i:03d}"
+        names.append(f"{CAT}/{name}")
+        gt = rng.standard_normal((n_gt, 3)).astype(np.float32) * 0.2
+        save_ply(join(root, CAT, name + ".ply"), gt)
+        for k in range(num_samples):
+            for kind, sl in (("existing", gt[:n_part]), ("missing", gt[n_part : 2 * n_part])):
+                os.makedirs(join(root, "slices", kind, CAT), exist_ok=True)
+                save_ply(join(root, "slices", kind, CAT, f"{k}~{name}.ply"), sl)
+    for split, sel in (("train", names[:4]), ("val", names[4:5]), ("test", names[5:])):
+        with open(join(root, split + ".list"), "w") as fh:
+            fh.write("\n".join(sel) + "\n")
+    return names
+
+
+def test_missing_shapenet_dataset(tmp_path):
+    make_synthetic_shapenet(tmp_path)
+    ds = MissingShapeNetDataset(str(tmp_path), split="train", num_samples=1)
+    assert len(ds) == 4
+    existing, missing, gt, label = ds[0]
+    assert existing.shape == (64, 3) and missing.shape == (64, 3) and gt.shape == (128, 3)
+    assert label == 0  # airplane ordinal
+
+
+def test_get_datasets_factory(tmp_path):
+    make_synthetic_shapenet(tmp_path)
+    cfg = {"name": "shapenet", "path": str(tmp_path), "classes": [CAT],
+           "is_rotated": False, "num_samples": 1, "gen_test_set": False}
+    train, val, test = get_datasets(cfg)
+    assert len(train) == 4
+    assert list(val.keys()) == ["airplane"] and len(val["airplane"]) == 1
+    assert list(test.keys()) == ["airplane"] and len(test["airplane"]) == 1
+    with pytest.raises(ValueError):
+        get_datasets({"name": "nope", "path": "/x"})
+
+
+def test_batch_loader_determinism_and_drop_last(tmp_path):
+    make_synthetic_shapenet(tmp_path, n_models=10)
+    ds = MissingShapeNetDataset(str(tmp_path), split="train", num_samples=1)  # len 4... need more
+    # use all 10 models by writing a bigger train list
+    with open(join(tmp_path, "train.list"), "w") as fh:
+        fh.write("\n".join(f"{CAT}/model{i:03d}" for i in range(10)))
+    ds = MissingShapeNetDataset(str(tmp_path), split="train", num_samples=1)
+    loader = BatchLoader(ds, 3, shuffle=True, drop_last=True, seed=7, num_workers=2)
+    assert len(loader) == 3  # 10 // 3
+    b1 = [b[0] for b in loader.epoch(1)]
+    b2 = [b[0] for b in loader.epoch(1)]
+    b3 = [b[0] for b in loader.epoch(2)]
+    assert all(x.shape == (3, 64, 3) for x in b1)
+    for a, b in zip(b1, b2):
+        np.testing.assert_array_equal(a, b)  # same epoch -> same order
+    assert any(not np.array_equal(a, b) for a, b in zip(b1, b3))  # epochs differ
+
+
+def test_collate_mixed_types():
+    items = [(np.ones((4, 3), np.float32), 0, np.zeros((8, 3), np.float32), "a"),
+             (np.ones((4, 3), np.float32), 0, np.zeros((8, 3), np.float32), "b")]
+    e, m, g, labels = collate(items)
+    assert e.shape == (2, 4, 3) and g.shape == (2, 8, 3)
+    assert m.tolist() == [0, 0]
+    assert labels == ["a", "b"]
+
+
+def test_loader_propagates_worker_errors(tmp_path):
+    class Boom:
+        def __len__(self):
+            return 4
+
+        def __getitem__(self, i):
+            raise RuntimeError("broken item")
+
+    loader = BatchLoader(Boom(), 2, num_workers=2)
+    with pytest.raises(RuntimeError, match="broken item"):
+        list(loader.epoch(0))
