@@ -63,16 +63,25 @@ def param_shardings(mesh: Mesh, params: dict) -> Any:
     replicated.
     """
     use_tp = mesh.shape.get(MODEL_AXIS, 1) > 1
+    n_trunk = len(params.get("hyper_network", {}).get("trunk", ()))
 
     def spec_for(path: tuple, leaf) -> P:
         if not use_tp:
             return P()
         keys = [getattr(p, "key", getattr(p, "idx", None)) for p in path]
-        if "hyper_network" in keys and "heads" in keys:
+        if "hyper_network" not in keys:
+            return P()
+        # Megatron MLP pattern on the hypernetwork's widest pair of matmuls:
+        # last trunk layer column-parallel, fused heads row-parallel (XLA
+        # inserts the psum over the 2048-wide contraction) — avoids any
+        # divisibility constraint on the odd-sized flat weight vector.
+        if "trunk" in keys and keys[keys.index("trunk") + 1] == n_trunk - 1:
             if keys[-1] == "w":
                 return P(None, MODEL_AXIS)
             if keys[-1] == "b":
                 return P(MODEL_AXIS)
+        if "heads" in keys and keys[-1] == "w":
+            return P(MODEL_AXIS, None)
         return P()
 
     specs = jax.tree_util.tree_map_with_path(spec_for, params)
