@@ -1,0 +1,120 @@
+"""Standalone evaluators over the ``fixed/`` artifact directory: MMD, UHD, TMD.
+
+These replace the reference's per-metric scripts
+(utils/evaluation/{mmd,completeness,total_mutual_diff,chamfer}.py), keeping
+their exact definitions while swapping the Ray CPU fan-outs for batched
+jitted device ops:
+
+* **MMD** (mmd.py:23-69): for each reference gt cloud, the best
+  (mean NN-dist both directions) over all generated clouds, chunked.
+* **UHD** (completeness.py:14-89): directed Hausdorff existing -> each of the
+  10 completions, averaged — one batched op per object instead of Ray tasks.
+* **TMD** (total_mutual_diff.py:14-61 + chamfer.py:8-31): sum over the 45
+  unordered completion pairs of symmetric mean-squared-NN Chamfer, x 2/(k-1).
+
+Artifact layout matches the reference's ``fixed`` experiment: sorted
+``*_reconstruction.npy`` files in groups of ``k`` per object (saved as (3, N)
+arrays), plus ``*_existing.npy``.
+"""
+
+from __future__ import annotations
+
+import glob
+from os.path import join
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hyperpocket_tpu.ops.chamfer import chamfer_per_cloud, directed_hausdorff, nn_distance
+
+
+def minimum_matching_distance(sample_pcs: np.ndarray, ref_pcs: np.ndarray, batch_size: int):
+    """(mmd, per-ref best distances); definition of reference mmd.py:23-47."""
+    n_ref, n_pts, dim = ref_pcs.shape
+    _, n_pts_s, dim_s = sample_pcs.shape
+    if n_pts != n_pts_s or dim != dim_s:
+        raise ValueError("Incompatible size of point-clouds.")
+
+    @jax.jit
+    def best_in_chunk(ref, chunk):
+        ref_b = jnp.broadcast_to(ref[None], (chunk.shape[0],) + ref.shape)
+        d_ref_to_s, _, d_s_to_ref, _ = nn_distance(ref_b, chunk)
+        return jnp.min(jnp.mean(d_ref_to_s, axis=1) + jnp.mean(d_s_to_ref, axis=1))
+
+    sample_pcs = jnp.asarray(sample_pcs)
+    matched = []
+    for i in range(n_ref):
+        ref = jnp.asarray(ref_pcs[i])
+        best = min(
+            float(best_in_chunk(ref, sample_pcs[s : s + batch_size]))
+            for s in range(0, sample_pcs.shape[0], batch_size)
+        )
+        matched.append(best)
+    return float(np.mean(matched)), matched
+
+
+def _load_grouped_reconstructions(shape_dir: str, group: int = 10) -> np.ndarray:
+    """Sorted *_reconstruction.npy -> (n_objects, group, N, 3)."""
+    paths = sorted(glob.glob(join(shape_dir, "*reconstruction.npy")))
+    n_objects = len(paths) // group
+    out = []
+    for i in range(n_objects):
+        out.append([np.load(paths[i * group + j]).T for j in range(group)])
+    return np.asarray(out, dtype=np.float32)
+
+
+def mmd_process(shape_dir: str, dataset, batch_size: int = 64) -> float:
+    """Reference mmd.process (mmd.py:50-69): fixed/ samples vs dataset gt."""
+    ref_pcs = np.stack([data[2] for data in dataset], axis=0)
+    paths = sorted(glob.glob(join(shape_dir, "*reconstruction.npy")))
+    sample_pcs = np.stack([np.load(p).T for p in paths], axis=0)
+    mmd, _ = minimum_matching_distance(sample_pcs, ref_pcs, batch_size)
+    return mmd
+
+
+def uhd_process(shape_dir: str, group: int = 10) -> float:
+    """Mean directed Hausdorff existing -> completions (completeness.py:63-89)."""
+    gen = _load_grouped_reconstructions(shape_dir, group)  # (O, k, N, 3)
+    existing_paths = sorted(glob.glob(join(shape_dir, "*existing.npy")))
+    existing = np.asarray([np.load(p).T for p in existing_paths], dtype=np.float32)
+
+    @jax.jit
+    def one(ex, completions):
+        ex_b = jnp.broadcast_to(ex[None], (completions.shape[0],) + ex.shape)
+        return jnp.mean(directed_hausdorff(ex_b, completions))
+
+    vals = [float(one(jnp.asarray(existing[i]), jnp.asarray(gen[i]))) for i in range(gen.shape[0])]
+    return float(np.mean(vals))
+
+
+def tmd_process(shape_dir: str, group: int = 10) -> float:
+    """Total mutual difference among completions (total_mutual_diff.py:27-61)."""
+    gen = _load_grouped_reconstructions(shape_dir, group)
+    k = gen.shape[1]
+    ii, jj = np.triu_indices(k, 1)
+
+    @jax.jit
+    def one(completions):
+        # compute_trimesh_chamfer == mean-of-min sqdist in both directions,
+        # which is exactly chamfer_per_cloud
+        pair_cd = chamfer_per_cloud(completions[ii], completions[jj])
+        return jnp.sum(pair_cd) * 2.0 / (k - 1)
+
+    vals = [float(one(jnp.asarray(gen[i]))) for i in range(gen.shape[0])]
+    return float(np.mean(vals))
+
+
+def compute_trimesh_chamfer(gt_points: np.ndarray, gen_points: np.ndarray,
+                            offset: float = 0, scale: float = 1) -> float:
+    """Symmetric mean-squared-NN Chamfer (reference chamfer.py:8-31)."""
+    gen_points = np.asarray(gen_points) / scale - offset
+    cd = chamfer_per_cloud(jnp.asarray(gt_points)[None], jnp.asarray(gen_points)[None])
+    return float(cd[0])
+
+
+def scale_to_unit_sphere(points: np.ndarray) -> np.ndarray:
+    midpoints = (np.max(points, axis=0) + np.min(points, axis=0)) / 2
+    points = points - midpoints
+    scale = np.max(np.sqrt(np.sum(points**2, axis=1)))
+    return points / scale

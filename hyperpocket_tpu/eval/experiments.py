@@ -1,0 +1,328 @@
+"""Experiment registry (reference core/experiments.py:397-405).
+
+Every registered experiment keeps the reference's name, config schema and
+artifact formats (npy arrays saved as (3, N), json result files, h5
+submission zip), with forwards jitted and batched on the TPU:
+
+* ``fixed``            — noise-conditioned completions dumped to ``fixed/``
+* ``evaluate_generativity`` — MMD/COV(CD,EMD) + JSD per category
+* ``compute_mmd_tmd_uhd``   — consumes ``fixed/``; reports MMD*1000,
+                              UHD*100, TMD*100
+* ``merge_different_categories`` — cross-category pocket transplants
+* ``same_model_different_slices`` — re-sliced gt completions
+* ``completion3d_submission``     — benchmark-server submission.zip
+* ``temp_exp``          — user extension stub
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import shutil
+from dataclasses import dataclass
+from functools import partial
+from os.path import basename, join
+from zipfile import ZipFile
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hyperpocket_tpu.data.loader import BatchLoader
+from hyperpocket_tpu.data.slicer import slice_point_cloud
+from hyperpocket_tpu.models import FullModel
+
+log = logging.getLogger("hyperpocket_tpu.experiments")
+
+
+@dataclass
+class ExperimentContext:
+    """Model + restored params + bookkeeping handed to every experiment."""
+
+    model: FullModel
+    params: dict
+    epoch: int
+    seed: int = 2020
+
+    def __post_init__(self):
+        self._key = jax.random.key(self.seed)
+
+        @partial(jax.jit, static_argnames=("num_points",))
+        def _complete(params, existing, noise, key, epoch, num_points):
+            return self.model.apply(
+                params, existing, None, key, epoch,
+                num_output_points=num_points, training=False, noise=noise,
+            )
+
+        @partial(jax.jit, static_argnames=("num_points",))
+        def _complete_from_missing(params, existing, missing, key, epoch, num_points):
+            return self.model.apply(
+                params, existing, missing, key, epoch,
+                num_output_points=num_points, training=False,
+            )
+
+        self._complete = _complete
+        self._complete_from_missing = _complete_from_missing
+
+    def next_key(self):
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
+    def complete(self, existing, noise, num_points: int = 2048) -> np.ndarray:
+        """existing (B, N, 3) + noise (B, Z) -> completions (B, num_points, 3)."""
+        out = self._complete(
+            self.params, jnp.asarray(existing), jnp.asarray(noise),
+            self.next_key(), jnp.asarray(float(self.epoch)), num_points,
+        )
+        return np.asarray(out)
+
+    def complete_from_missing(self, existing, missing, num_points: int = 2048) -> np.ndarray:
+        out = self._complete_from_missing(
+            self.params, jnp.asarray(existing), jnp.asarray(missing),
+            self.next_key(), jnp.asarray(float(self.epoch)), num_points,
+        )
+        return np.asarray(out)
+
+    def sample_noise(self, batch: int, mean: float, std: float) -> np.ndarray:
+        return np.asarray(
+            mean + std * jax.random.normal(self.next_key(), (batch, self.model.get_noise_size()))
+        )
+
+
+# ---------------------------------------------------------------------------
+
+
+def fixed(ctx: ExperimentContext, datasets_dict, results_dir: str, epoch, amount=30,
+          mean=0.0, std=0.015, noises_per_item=10, batch_size=8, save_plots=False,
+          triangulation_config=None):
+    """Reference core/experiments.py:23-60. Artifacts are (3, N) npy files.
+
+    ``triangulation_config`` is accepted-but-ignored, as in the reference
+    (experiments.py:25; utils/sphere_triangles.py is dead code there).
+    """
+    out_dir = join(results_dir, "fixed")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+
+    for cat_name, ds in datasets_dict.items():
+        loader = BatchLoader(ds, batch_size, shuffle=False, num_workers=4)
+        for i, (existing, _, _, _) in enumerate(loader.epoch(0)):
+            for j in range(noises_per_item):
+                noise = ctx.sample_noise(existing.shape[0], mean, std)
+                rec = ctx.complete(existing, noise)  # (B, 2048, 3)
+                for k in range(rec.shape[0]):
+                    np.save(join(out_dir, f"{cat_name}_{i * batch_size + k}_{j}_reconstruction"),
+                            rec[k].T)
+                    if save_plots:
+                        from hyperpocket_tpu.utils.plotting import plot_3d_point_cloud
+
+                        fig = plot_3d_point_cloud(rec[k, :, 0], rec[k, :, 1], rec[k, :, 2],
+                                                  in_u_sphere=True, show=False)
+                        fig.savefig(join(out_dir, f"{cat_name}_{i * batch_size + k}_{j}_fixed_reconstructed.png"))
+                        import matplotlib.pyplot as plt
+
+                        plt.close(fig)
+            for k in range(existing.shape[0]):
+                np.save(join(out_dir, f"{cat_name}_{i * batch_size + k}_existing"), existing[k].T)
+
+
+def evaluate_generativity(ctx: ExperimentContext, datasets_dict, results_dir: str, epoch,
+                          batch_size=25, num_workers=8, mean=0.0, std=0.005):
+    """Reference core/experiments.py:63-104: per-object MMD/COV + JSD vs the
+    category's missing-part population."""
+    from hyperpocket_tpu.eval.metrics import compute_all_metrics, jsd_between_point_cloud_sets
+
+    os.makedirs(join(results_dir, "evaluate_generativity"), exist_ok=True)
+    results: dict[str, dict] = {}
+    for cat_name, ds in datasets_dict.items():
+        cat_gt = np.stack([np.asarray(ds[i][1], dtype=np.float32) for i in range(len(ds))])
+        n_gen = len(cat_gt)
+        cat_results: dict[str, float] = {}
+        for obj_idx in range(len(ds)):
+            existing = np.asarray(ds[obj_idx][0], dtype=np.float32)[None]
+            recs = []
+            for start in range(0, n_gen, batch_size):
+                b = min(batch_size, n_gen - start)
+                noise = ctx.sample_noise(b, mean, std)
+                rec = ctx.complete(np.repeat(existing, b, axis=0), noise)
+                # keep the 1024 lowest-y points (experiments.py:92)
+                for pc in rec:
+                    order = np.argsort(pc[:, 1])[:1024]
+                    recs.append(pc[order])
+            obj_recs = np.stack(recs)
+            for k, v in compute_all_metrics(obj_recs, cat_gt, batch_size).items():
+                cat_results[k] = cat_results.get(k, 0.0) + float(v)
+            cat_results["jsd"] = cat_results.get("jsd", 0.0) + jsd_between_point_cloud_sets(
+                obj_recs, cat_gt
+            )
+        results[cat_name] = cat_results
+        log.info("%s %s", cat_name, cat_results)
+
+    with open(join(results_dir, "evaluate_generativity", f"{epoch}eval_gen_by_cat.json"), "w") as fh:
+        json.dump(results, fh)
+    return results
+
+
+def compute_mmd_tmd_uhd(ctx: ExperimentContext, datasets_dict, results_dir: str, epoch,
+                        batch_size=64):
+    """Reference core/experiments.py:107-128; consumes the fixed/ directory."""
+    from hyperpocket_tpu.eval.evaluation import mmd_process, tmd_process, uhd_process
+
+    os.makedirs(join(results_dir, "compute_mmd_tmd_uhd"), exist_ok=True)
+    shape_dir = join(results_dir, "fixed")
+    dataset = datasets_dict if not isinstance(datasets_dict, dict) else next(
+        iter(datasets_dict.values())
+    )
+    res = {}
+    mmd_v = mmd_process(shape_dir, dataset, batch_size)
+    log.info("MMD * 1000 = %s", mmd_v * 1000)
+    res["MMD * 1000"] = mmd_v * 1000
+    uhd_v = uhd_process(shape_dir)
+    log.info("UHD * 100 = %s", uhd_v * 100)
+    res["UHD * 100"] = uhd_v * 100
+    tmd_v = tmd_process(shape_dir)
+    log.info("TMD * 100 = %s", tmd_v * 100)
+    res["TMD * 100"] = tmd_v * 100
+    with open(join(results_dir, "compute_mmd_tmd_uhd", f"{epoch}res.json"), "w") as fh:
+        json.dump(res, fh)
+    return res
+
+
+def merge_different_categories(ctx: ExperimentContext, datasets_dict, results_dir: str, epoch,
+                               amount=10, first_cat="car", second_cat="airplane"):
+    """Reference core/experiments.py:131-191: cross-category pocket transplants."""
+    out_dir = join(results_dir, "merge_different_categories")
+    os.makedirs(out_dir, exist_ok=True)
+    first_ds, second_ds = datasets_dict[first_cat], datasets_dict[second_cat]
+    if len(first_ds) < amount or len(second_ds) < amount:
+        raise ValueError(
+            f"with current dataset config the max amount value is "
+            f"{min(len(first_ds), len(second_ds))}"
+        )
+    first_ids = np.random.choice(len(first_ds), amount, replace=False)
+    second_ids = np.random.choice(len(second_ds), amount, replace=False)
+
+    def halves(gt):
+        order = np.argsort(gt.T[0])
+        return gt[order[1024:]], gt[order[:1024]]  # (existing, missing) by x-coord
+
+    for i in range(amount):
+        f_gt = np.asarray(first_ds[first_ids[i]][2], dtype=np.float32)
+        s_gt = np.asarray(second_ds[second_ids[i]][2], dtype=np.float32)
+        f_existing, f_missing = halves(f_gt)
+        s_existing, s_missing = halves(s_gt)
+        for tag, arrs in ((first_cat, (f_existing, f_missing, f_gt)),
+                          (second_cat, (s_existing, s_missing, s_gt))):
+            for name, arr in zip(("existing", "missing", "gt"), arrs):
+                np.save(join(out_dir, f"{tag}_{i}_{name}"), arr)
+
+        for j in range(amount):
+            t_f_missing = halves(np.asarray(first_ds[first_ids[j]][2], dtype=np.float32))[1]
+            t_s_missing = halves(np.asarray(second_ds[second_ids[j]][2], dtype=np.float32))[1]
+            pairs = (
+                (f"{first_cat}_{i}~{first_cat}_{j}_rec", f_existing, t_f_missing),
+                (f"{first_cat}_{i}~{second_cat}_{j}_rec", f_existing, t_s_missing),
+                (f"{second_cat}_{i}~{first_cat}_{j}_rec", s_existing, t_f_missing),
+                (f"{second_cat}_{i}~{second_cat}_{j}_rec", s_existing, t_s_missing),
+            )
+            for name, ex, mi in pairs:
+                rec = ctx.complete_from_missing(ex[None], mi[None], num_points=f_gt.shape[0])
+                np.save(join(out_dir, name), rec[0])
+
+
+def same_model_different_slices(ctx: ExperimentContext, datasets_dict, results_dir: str, epoch,
+                                amount=10, slices_number=10, mean=0.0, std=0.015,
+                                slice_points=1024):
+    """Reference core/experiments.py:194-225: complete both halves of random re-slices."""
+    out_dir = join(results_dir, "same_model_different_slices")
+    os.makedirs(out_dir, exist_ok=True)
+
+    def process_half(pcd, cat_name, tag, i, j):
+        np.save(join(out_dir, f"{cat_name}_{i}_{j}_{tag}_pcd"), pcd)
+        noise = ctx.sample_noise(1, mean, std)
+        np.save(join(out_dir, f"{cat_name}_{i}_{j}_{tag}_noise"), noise)
+        rec = ctx.complete(pcd[None].astype(np.float32), noise)[0]
+        np.save(join(out_dir, f"{cat_name}_{i}_{j}_{tag}_rec"), rec.T)
+
+    for cat_name, ds in datasets_dict.items():
+        ids = np.random.choice(len(ds), min(amount, len(ds)), replace=False)
+        for i, idx in enumerate(ids):
+            gt = np.asarray(ds[idx][2], dtype=np.float32)
+            np.save(join(out_dir, f"{cat_name}_{i}_gt"), gt)
+            for j in range(slices_number):
+                first, second = slice_point_cloud(gt, slice_points)
+                process_half(first, cat_name, "f", i, j)
+                process_half(second, cat_name, "s", i, j)
+
+
+def completion3d_submission(ctx: ExperimentContext, datasets_dict, results_dir: str, epoch,
+                            batch_size=1):
+    """Reference core/experiments.py:228-247: per-model h5 + submission.zip."""
+    import h5py
+
+    bench_dir = join(results_dir, "completion3d_submission")
+    shutil.rmtree(bench_dir, ignore_errors=True)
+    os.makedirs(bench_dir, exist_ok=True)
+    loader = BatchLoader(datasets_dict["all"], batch_size, shuffle=False, num_workers=4)
+    with ZipFile(join(results_dir, "submission.zip"), "w") as zf:
+        for existing, _, _, model_ids in loader.epoch(0):
+            noise = ctx.sample_noise(existing.shape[0], 0.0, 0.0)
+            rec = ctx.complete(existing, noise)  # (B, 2048, 3)
+            for idx in range(rec.shape[0]):
+                ofile = join(bench_dir, str(model_ids[idx]).split("/")[-1] + ".h5")
+                with h5py.File(ofile, "w") as fh:
+                    fh.create_dataset("data", data=rec[idx])
+                zf.write(ofile, "all/" + basename(ofile))
+
+
+def temp_exp(ctx: ExperimentContext, datasets_dict, results_dir: str, epoch):
+    """User extension stub (reference core/experiments.py:392-394)."""
+
+
+experiment_functions_dict = {
+    "fixed": fixed,
+    "evaluate_generativity": evaluate_generativity,
+    "compute_mmd_tmd_uhd": compute_mmd_tmd_uhd,
+    "merge_different_categories": merge_different_categories,
+    "same_model_different_slices": same_model_different_slices,
+    "completion3d_submission": completion3d_submission,
+    "temp_exp": temp_exp,
+}
+
+
+# ---------------------------------------------------------------------------
+
+
+def run_experiments(config: dict, result_dir: str, datasets=None) -> None:
+    """Experiments-mode driver (reference core/main.py:176-188)."""
+    from hyperpocket_tpu.data import get_datasets
+    from hyperpocket_tpu.train import checkpoint as ckpt
+    from hyperpocket_tpu.train.config import get_results_dir_path
+
+    model = FullModel.from_config(config["full_model"])
+    params = model.init(jax.random.key(config["setup"]["seed"]))
+
+    training_dir = get_results_dir_path(config, "training")
+    weights_path = join(training_dir, "weights")
+    metrics_path = join(training_dir, "metrics")
+    latest = ckpt.find_latest_epoch(weights_path)
+    if latest <= 0:
+        raise FileNotFoundError(f"no weights found at {weights_path}")
+    epoch, params, _ = ckpt.restore_model_state(
+        weights_path, metrics_path, latest, config["experiments"].get("epoch", "latest"), params
+    )
+    log.info("restored epoch %d for experiments", epoch)
+
+    if datasets is None:
+        _, _, test_dataset_dict = get_datasets(config["dataset"])
+    else:
+        test_dataset_dict = datasets
+
+    ctx = ExperimentContext(model, params, epoch, seed=config["setup"]["seed"])
+    for name, ex_cfg in config["experiments"]["settings"].items():
+        ex_cfg = dict(ex_cfg)
+        if ex_cfg.pop("execute", False):
+            log.info("experiment: %s", name)
+            os.makedirs(join(result_dir, name), exist_ok=True)
+            experiment_functions_dict[name](ctx, test_dataset_dict, result_dir, epoch, **ex_cfg)

@@ -1,0 +1,132 @@
+"""Pallas TPU kernel: streaming exact nearest-neighbour distance.
+
+The TPU-native replacement for the reference CUDA kernel
+``utils/pytorch_structural_losses/nndistance.cu:8-133``. Design
+(flash-attention-style streaming, SURVEY.md §5 "long-context"):
+
+* one direction per launch (queries -> keys), called twice like the CUDA
+  launcher (nndistance.cu:131-133);
+* grid (B, N/TILE_N): each step holds the full key cloud (M, 3) and a
+  (3, TILE_N) query slab in VMEM and materialises only an (M, TILE_N)
+  distance tile — the B x N x M matrix never exists in HBM;
+* the distance tile is built on the VPU as sum_c (k_c - q_c)^2 with
+  broadcasting — no MXU pass is wasted padding a K=3 contraction to 128;
+* min/argmin reduce over the sublane axis, so results land lane-oriented
+  (1, TILE_N) and stream straight to the output rows.
+
+Gradients reuse the pure-JAX VJP (gather + scatter of (B, N, 3)), which is
+tiny next to the forward.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _nn_one_direction_kernel(q_ref, k_ref, dist_ref, idx_ref):
+    """q_ref (1, 3, TN), k_ref (1, M, 3) -> dist/idx (1, 1, TN)."""
+    m = k_ref.shape[1]
+    tn = q_ref.shape[2]
+    keys = k_ref[0]  # (M, 3)
+    d = jnp.zeros((m, tn), jnp.float32)
+    for c in range(3):
+        diff = keys[:, c : c + 1] - q_ref[0, c : c + 1, :]  # (M,1)-(1,TN) -> (M,TN)
+        d += diff * diff
+    dist_ref[0, 0, :] = jnp.min(d, axis=0)
+    idx_ref[0, 0, :] = jnp.argmin(d, axis=0).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("tile_n", "interpret"))
+def _nn_one_direction(q: jax.Array, k: jax.Array, *, tile_n: int = 512, interpret: bool = False):
+    """q (B, N, 3), k (B, M, 3) -> (dist (B, N), idx (B, N))."""
+    b, n, _ = q.shape
+    m = k.shape[1]
+    tile_n = min(tile_n, n)
+    while n % tile_n:
+        tile_n //= 2
+    if tile_n < 128 and tile_n != n:
+        raise ValueError(f"N={n} must be a multiple of 128 for the pallas kernel")
+    qt = jnp.transpose(q, (0, 2, 1))  # (B, 3, N): queries lane-oriented
+    grid = (b, n // tile_n)
+    dist, idx = pl.pallas_call(
+        _nn_one_direction_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 3, tile_n), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m, 3), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, tile_n), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tile_n), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, 1, n), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, n), jnp.int32),
+        ],
+        interpret=interpret,
+    )(qt, k)
+    return dist[:, 0, :], idx[:, 0, :]
+
+
+def _use_interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _nn_forward_pallas(a: jax.Array, b: jax.Array):
+    interpret = _use_interpret()
+    dist1, idx1 = _nn_one_direction(a, b, interpret=interpret)
+    dist2, idx2 = _nn_one_direction(b, a, interpret=interpret)
+    return dist1, idx1, dist2, idx2
+
+
+@jax.custom_vjp
+def nn_distance_pallas(a: jax.Array, b: jax.Array):
+    """Drop-in replacement for ``ops.chamfer.nn_distance`` backed by Pallas."""
+    return _nn_forward_pallas(a, b)
+
+
+def _fwd(a, b):
+    out = _nn_forward_pallas(a, b)
+    dist1, idx1, dist2, idx2 = out
+    return out, (a, b, idx1, idx2)
+
+
+def _bwd(res, grads):
+    from hyperpocket_tpu.ops.chamfer import _nn_bwd
+
+    return _nn_bwd(res, grads)
+
+
+nn_distance_pallas.defvjp(_fwd, _bwd)
+
+
+def chamfer_loss_streaming(gts: jax.Array, preds: jax.Array) -> jax.Array:
+    """Reference ChamferLoss semantics via the streaming kernel.
+
+    Identical value to ``ops.chamfer.chamfer_loss`` (sum-of-min both
+    directions, scalar over the batch) but never materialises the pairwise
+    matrix and backprops through gather/scatter instead of a (B, N, M) mask.
+    (Gradients differ from the pure version only at near-tied argmins, where
+    both are valid subgradients.)
+    """
+    d_gt, _, d_pred, _ = nn_distance_pallas(gts, preds)
+    return jnp.sum(d_gt) + jnp.sum(d_pred)
+
+
+def pallas_shapes_ok(n: int, m: int) -> bool:
+    """The streaming kernel needs lane-aligned point counts both directions."""
+    return n % 128 == 0 and m % 128 == 0
+
+
+def chamfer_loss_auto(gts: jax.Array, preds: jax.Array) -> jax.Array:
+    """Streaming kernel when shapes allow, pure-JAX otherwise."""
+    from hyperpocket_tpu.ops.chamfer import chamfer_loss
+
+    if pallas_shapes_ok(gts.shape[1], preds.shape[1]):
+        return chamfer_loss_streaming(gts, preds)
+    return chamfer_loss(gts, preds)

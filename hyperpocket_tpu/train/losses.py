@@ -16,11 +16,11 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from hyperpocket_tpu.ops.chamfer import chamfer_loss
+from hyperpocket_tpu.ops.pallas_nn import chamfer_loss_auto
 
 
 def reconstruction_loss(gt: jax.Array, rec: jax.Array, loss_coef: float = 0.05) -> jax.Array:
-    return loss_coef * chamfer_loss(gt, rec)
+    return loss_coef * chamfer_loss_auto(gt, rec)
 
 
 def kld_loss(mu: jax.Array, sigma: jax.Array, batch_size: int) -> jax.Array:

@@ -1,0 +1,132 @@
+"""Metrics vs brute-force numpy oracles."""
+
+import numpy as np
+import pytest
+
+from hyperpocket_tpu.eval.metrics import (
+    EMD_CD,
+    compute_all_metrics,
+    jensen_shannon_divergence,
+    jsd_between_point_cloud_sets,
+    knn,
+    mmd_cov,
+    pairwise_emd_cd,
+    unit_cube_grid_point_cloud,
+)
+
+
+def brute_cd(a, b):
+    d = ((a[:, None, :] - b[None, :, :]) ** 2).sum(-1)
+    return d.min(1).mean() + d.min(0).mean()
+
+
+@pytest.fixture
+def sets():
+    rng = np.random.default_rng(0)
+    sample = (rng.standard_normal((6, 64, 3)) * 0.2).astype(np.float32)
+    ref = (rng.standard_normal((5, 64, 3)) * 0.2).astype(np.float32)
+    return sample, ref
+
+
+def test_pairwise_cd_matrix(sets):
+    sample, ref = sets
+    cd, emd = pairwise_emd_cd(sample, ref, batch_size=3)
+    assert cd.shape == (6, 5) and emd.shape == (6, 5)
+    for i in range(6):
+        for j in range(5):
+            assert float(cd[i, j]) == pytest.approx(brute_cd(sample[i], ref[j]), rel=1e-4)
+    assert np.all(np.asarray(emd) > 0)
+
+
+def test_mmd_cov_oracle(sets):
+    sample, ref = sets
+    d = np.random.default_rng(1).random((6, 5)).astype(np.float32)
+    out = mmd_cov(d)
+    assert float(out["mmd(Fidelity)"]) == pytest.approx(d.min(0).mean(), rel=1e-6)
+    assert float(out["mmd_smp"]) == pytest.approx(d.min(1).mean(), rel=1e-6)
+    assert float(out["cov(Coverage)"]) == pytest.approx(len(np.unique(d.argmin(1))) / 5)
+
+
+def test_compute_all_metrics_keys_and_selfmatch(sets):
+    sample, _ = sets
+    out = compute_all_metrics(sample, sample, batch_size=3)
+    assert set(out) == {
+        "mmd(Fidelity)-CD", "cov(Coverage)-CD", "mmd_smp-CD",
+        "mmd(Fidelity)-EMD", "cov(Coverage)-EMD", "mmd_smp-EMD",
+    }
+    # identical sets: every ref matched (cov=1), fidelity ~0 for CD
+    assert float(out["cov(Coverage)-CD"]) == 1.0
+    assert float(out["mmd(Fidelity)-CD"]) < 1e-6
+
+
+def test_emd_cd_paired(sets):
+    sample, _ = sets
+    out = EMD_CD(sample, sample, batch_size=4)
+    assert float(out["MMD-CD"]) < 1e-6
+    assert float(out["MMD-EMD"]) < 0.02  # approximate EMD residual
+
+
+def test_knn_separated_clusters():
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((8, 16, 3)).astype(np.float32)
+    y = x + 100.0
+    dxx = ((x[:, None] - x[None]) ** 2).sum((-1, -2))
+    dyy = ((y[:, None] - y[None]) ** 2).sum((-1, -2))
+    dxy = ((x[:, None] - y[None]) ** 2).sum((-1, -2))
+    out = knn(dxx, dxy, dyy, k=1)
+    assert float(out["acc"]) == 1.0  # perfectly separable -> 1-NNA = 1
+
+
+def test_unit_cube_grid():
+    grid, spacing = unit_cube_grid_point_cloud(5)
+    assert grid.shape == (5, 5, 5, 3)
+    assert spacing == pytest.approx(0.25)
+    assert grid.min() == -0.5 and grid.max() == 0.5
+    clipped, _ = unit_cube_grid_point_cloud(5, clip_sphere=True)
+    assert np.all(np.linalg.norm(clipped, axis=1) <= 0.5)
+
+
+def test_jsd_identical_zero_and_symmetry():
+    rng = np.random.default_rng(3)
+    a = (rng.random((4, 128, 3)) - 0.5).astype(np.float32) * 0.8
+    b = (rng.random((4, 128, 3)) - 0.5).astype(np.float32) * 0.8
+    assert jsd_between_point_cloud_sets(a, a) == pytest.approx(0.0, abs=1e-9)
+    jab = jsd_between_point_cloud_sets(a, b)
+    jba = jsd_between_point_cloud_sets(b, a)
+    assert jab == pytest.approx(jba, rel=1e-6)
+    assert 0 < jab <= 1.0
+
+
+def test_jsd_validates():
+    with pytest.raises(ValueError):
+        jensen_shannon_divergence(np.array([-1.0, 2.0]), np.array([1.0, 1.0]))
+    with pytest.raises(ValueError):
+        jensen_shannon_divergence(np.array([1.0]), np.array([0.5, 0.5]))
+
+
+def test_evaluation_uhd_tmd_mmd(tmp_path):
+    """Synthetic fixed/ dir: identical completions -> TMD 0; subset existing -> UHD 0."""
+    from hyperpocket_tpu.eval.evaluation import mmd_process, tmd_process, uhd_process
+
+    rng = np.random.default_rng(4)
+    n_obj, k = 2, 10
+    for i in range(n_obj):
+        cloud = (rng.standard_normal((64, 3)) * 0.2).astype(np.float32)
+        for j in range(k):
+            np.save(tmp_path / f"cat_{i}_{j}_reconstruction.npy", cloud.T)
+        np.save(tmp_path / f"cat_{i}_existing.npy", cloud[:32].T)
+
+    assert tmd_process(str(tmp_path)) == pytest.approx(0.0, abs=1e-6)
+    # sqrt of the ~1e-8 fp32 residual of the |x|^2+|y|^2-2xy expansion
+    assert uhd_process(str(tmp_path)) == pytest.approx(0.0, abs=1e-3)
+
+    class DS:
+        def __init__(self):
+            self.items = [(None, None, (rng.standard_normal((64, 3)) * 0.2).astype(np.float32), i)
+                          for i in range(3)]
+
+        def __iter__(self):
+            return iter(self.items)
+
+    mmd = mmd_process(str(tmp_path), DS(), batch_size=8)
+    assert mmd > 0

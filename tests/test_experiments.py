@@ -1,0 +1,110 @@
+"""Experiments-mode smoke tests: train tiny model, run every experiment, check artifacts."""
+
+import glob
+import json
+import os
+from os.path import exists, join
+
+import numpy as np
+import pytest
+
+from tests.test_data import CAT, make_synthetic_shapenet
+from tests.test_train_integration import make_config
+
+
+@pytest.fixture(scope="module")
+def trained_setup(tmp_path_factory):
+    root = tmp_path_factory.mktemp("data")
+    results = tmp_path_factory.mktemp("results")
+    make_synthetic_shapenet(root, n_models=6, n_gt=64, n_part=32)
+    config = make_config(root, results, max_epoch=1)
+
+    from hyperpocket_tpu.train.trainer import Trainer
+
+    trainer = Trainer(config, use_mesh=False)
+    trainer.run(plot_samples=False)
+    return config, trainer
+
+
+def _ctx_and_datasets(config):
+    from hyperpocket_tpu.data import get_datasets
+
+    _, _, test_dict = get_datasets(config["dataset"])
+    return test_dict
+
+
+def test_experiments_mode_end_to_end(trained_setup, tmp_path):
+    config, trainer = trained_setup
+    config = json.loads(json.dumps(config))
+    config["mode"] = "experiments"
+    config["experiments"] = {
+        "epoch": "best_val",
+        "settings": {
+            "fixed": {"execute": True, "mean": 0.0, "std": 0.05, "amount": 4,
+                      "noises_per_item": 10, "batch_size": 2},
+            "compute_mmd_tmd_uhd": {"execute": True, "batch_size": 4},
+            "same_model_different_slices": {"execute": False},
+            "evaluate_generativity": {"execute": False},
+            "temp_exp": {"execute": True},
+        },
+    }
+    from hyperpocket_tpu.eval.experiments import run_experiments
+    from hyperpocket_tpu.train.config import get_results_dir_path
+
+    result_dir = get_results_dir_path(config, "experiments")
+    os.makedirs(result_dir, exist_ok=True)
+    run_experiments(config, result_dir)
+
+    recs = sorted(glob.glob(join(result_dir, "fixed", "*_reconstruction.npy")))
+    assert len(recs) == 10  # 1 test model x 10 noises
+    first = np.load(recs[0])
+    assert first.shape == (3, 64)  # (3, N) artifact layout, N matches gt size
+    assert exists(join(result_dir, "fixed", "airplane_0_existing.npy"))
+
+    res_files = glob.glob(join(result_dir, "compute_mmd_tmd_uhd", "*res.json"))
+    assert len(res_files) == 1
+    res = json.load(open(res_files[0]))
+    assert set(res) == {"MMD * 1000", "UHD * 100", "TMD * 100"}
+    assert all(np.isfinite(v) for v in res.values())
+
+
+def test_fixed_uses_gt_point_count(trained_setup):
+    """fixed must emit 2048-pt clouds for real configs — here gt is 64 pts."""
+    # covered by shape assert above; this guards the num_points plumbing
+    config, trainer = trained_setup
+    from hyperpocket_tpu.eval.experiments import ExperimentContext
+
+    ctx = ExperimentContext(trainer.model, trainer.params, epoch=1)
+    rec = ctx.complete(np.zeros((2, 32, 3), np.float32), ctx.sample_noise(2, 0.0, 0.05),
+                       num_points=96)
+    assert rec.shape == (2, 96, 3)
+
+
+def test_same_model_different_slices(trained_setup, tmp_path):
+    config, trainer = trained_setup
+    from hyperpocket_tpu.data import get_datasets
+    from hyperpocket_tpu.eval.experiments import ExperimentContext, same_model_different_slices
+
+    test_dict = _ctx_and_datasets(config)
+    ctx = ExperimentContext(trainer.model, trainer.params, epoch=1)
+    same_model_different_slices(ctx, test_dict, str(tmp_path), 1, amount=1, slices_number=2,
+                                slice_points=32)
+    files = os.listdir(join(tmp_path, "same_model_different_slices"))
+    assert any(f.endswith("_gt.npy") for f in files)
+    # 2 slices x 2 halves x 3 artifacts + gt
+    assert sum(f.endswith("_rec.npy") for f in files) == 4
+    pcd = np.load(join(tmp_path, "same_model_different_slices",
+                       [f for f in files if f.endswith("_f_pcd.npy")][0]))
+    assert pcd.shape == (32, 3)  # half of the 64-pt synthetic gt... 1024 in prod
+
+
+def test_merge_different_categories_requires_enough_models(trained_setup, tmp_path):
+    config, trainer = trained_setup
+    from hyperpocket_tpu.eval.experiments import ExperimentContext, merge_different_categories
+
+    test_dict = _ctx_and_datasets(config)
+    ctx = ExperimentContext(trainer.model, trainer.params, epoch=1)
+    with pytest.raises(ValueError, match="max amount value"):
+        merge_different_categories(ctx, {"car": test_dict["airplane"],
+                                         "airplane": test_dict["airplane"]},
+                                   str(tmp_path), 1, amount=10)

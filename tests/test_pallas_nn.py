@@ -1,0 +1,61 @@
+"""Streaming Pallas NN kernel vs the pure-JAX oracle (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hyperpocket_tpu.ops.chamfer import chamfer_loss, nn_distance
+from hyperpocket_tpu.ops.pallas_nn import (
+    chamfer_loss_auto,
+    chamfer_loss_streaming,
+    nn_distance_pallas,
+    pallas_shapes_ok,
+)
+
+
+@pytest.fixture
+def clouds():
+    rng = np.random.default_rng(0)
+    x = (rng.standard_normal((2, 256, 3)) * 0.3).astype(np.float32)
+    y = (rng.standard_normal((2, 128, 3)) * 0.3).astype(np.float32)
+    return jnp.asarray(x), jnp.asarray(y)
+
+
+def test_matches_pure_nn_distance(clouds):
+    x, y = clouds
+    d1p, i1p, d2p, i2p = nn_distance_pallas(x, y)
+    d1, i1, d2, i2 = nn_distance(x, y)
+    np.testing.assert_allclose(np.asarray(d1p), np.asarray(d1), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(d2p), np.asarray(d2), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(i1p), np.asarray(i1))
+    np.testing.assert_array_equal(np.asarray(i2p), np.asarray(i2))
+
+
+def test_streaming_chamfer_value(clouds):
+    x, y = clouds
+    a = float(chamfer_loss_streaming(x, y))
+    b = float(chamfer_loss(x, y))
+    assert a == pytest.approx(b, rel=1e-5)
+
+
+def test_streaming_chamfer_grad_close(clouds):
+    x, y = clouds
+    gp = jax.grad(chamfer_loss)(x, y)
+    gs = jax.grad(chamfer_loss_streaming)(x, y)
+    # identical up to argmin tie-breaking on near-equal distances
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gs), atol=5e-3)
+
+
+def test_auto_dispatch_fallback_unaligned():
+    rng = np.random.default_rng(1)
+    x = jnp.asarray((rng.standard_normal((2, 100, 3)) * 0.3).astype(np.float32))
+    y = jnp.asarray((rng.standard_normal((2, 70, 3)) * 0.3).astype(np.float32))
+    assert not pallas_shapes_ok(100, 70)
+    assert float(chamfer_loss_auto(x, y)) == pytest.approx(float(chamfer_loss(x, y)), rel=1e-5)
+
+
+def test_auto_dispatch_aligned(clouds):
+    x, y = clouds
+    assert pallas_shapes_ok(x.shape[1], y.shape[1])
+    assert float(chamfer_loss_auto(x, y)) == pytest.approx(float(chamfer_loss(x, y)), rel=1e-5)

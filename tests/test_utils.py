@@ -1,0 +1,125 @@
+"""Augmentations, sphere triangulation, config naming, scripts."""
+
+import json
+import os
+from os.path import join
+
+import numpy as np
+import pytest
+
+from hyperpocket_tpu.utils.augment import (
+    add_gaussian_noise_to_pcloud,
+    add_rotation_to_pcloud,
+    apply_augmentations,
+    rand_rotation_matrix,
+)
+from hyperpocket_tpu.utils.sphere_triangles import METHODS, generate
+
+
+def test_rand_rotation_is_orthonormal():
+    for seed in range(5):
+        m = rand_rotation_matrix(seed=seed)
+        np.testing.assert_allclose(m @ m.T, np.eye(3), atol=1e-10)
+        assert np.linalg.det(m) == pytest.approx(1.0)
+
+
+def test_rand_rotation_deflection_zero_near_identity():
+    m = rand_rotation_matrix(deflection=1e-9, seed=1)
+    np.testing.assert_allclose(np.abs(m), np.eye(3), atol=1e-3)
+
+
+def test_gaussian_noise_tiled_per_point():
+    pts = np.zeros((10, 3))
+    out = add_gaussian_noise_to_pcloud(pts.copy(), mu=0, sigma=1)
+    # the same scalar is added to x, y and z of each point
+    np.testing.assert_allclose(out[:, 0], out[:, 1])
+    np.testing.assert_allclose(out[:, 0], out[:, 2])
+
+
+def test_rotation_preserves_norms():
+    pts = np.random.default_rng(0).standard_normal((64, 3))
+    out = add_rotation_to_pcloud(pts)
+    np.testing.assert_allclose(np.linalg.norm(out, axis=1), np.linalg.norm(pts, axis=1), atol=1e-10)
+
+
+def test_apply_augmentations_z_rotate_keeps_z():
+    class Conf:
+        gauss_augment = None
+        z_rotate = True
+
+    pts = np.random.default_rng(1).standard_normal((32, 3))
+    out = apply_augmentations(pts, Conf())
+    np.testing.assert_allclose(out[:, 2], pts[:, 2], atol=1e-12)
+
+
+@pytest.mark.parametrize("method", sorted(METHODS))
+def test_sphere_triangulation_on_unit_sphere(method):
+    points, tris = generate(method, 2)
+    assert points.shape[0] == tris.shape[0] * 3
+    np.testing.assert_allclose(np.linalg.norm(points, axis=1), 1.0, atol=1e-6)
+    assert tris.max() == points.shape[0] - 1
+
+
+def test_sphere_triangulation_edge_counts():
+    # edge subdivision: 8 faces x 4^depth
+    points, tris = generate("edge", 3)
+    assert tris.shape[0] == 8 * 4**3
+
+
+def test_results_dir_naming_matches_reference_scheme():
+    from hyperpocket_tpu.train.config import get_results_dir_path
+
+    cfg = json.load(open(join(os.path.dirname(__file__), "..", "settings",
+                              "config_3depn_chair.json")))
+    path = get_results_dir_path(cfg, "training")
+    assert path == join(
+        "data/results", "training", "uniform_normed_progressive_to_epoch_100",
+        "3depn", "03001627", "2e128x128StepLR_step_size30001_gamma0.01",
+    )
+
+
+def test_all_sample_configs_parse_and_build_models():
+    from hyperpocket_tpu.models import FullModel
+
+    settings_dir = join(os.path.dirname(__file__), "..", "settings")
+    modes = {}
+    for name in sorted(os.listdir(settings_dir)):
+        if not name.endswith(".json"):
+            continue
+        cfg = json.load(open(join(settings_dir, name)))
+        model = FullModel.from_config(cfg["full_model"])
+        modes[name] = model.mode
+    assert modes["config_completion.json"] == "hyper_rec"
+    assert modes["config_3depn_chair.json"] == "hyper_pocket"
+    assert len(modes) >= 6
+
+
+def test_gen_test_script(tmp_path):
+    from tests.test_data import CAT, make_synthetic_shapenet
+    from util_scripts.generate_eval_gen_test_set import div_left_right_min_y
+
+    make_synthetic_shapenet(tmp_path, n_models=2, n_gt=2048)
+    for side in ("left", "right", "gt"):
+        os.makedirs(join(tmp_path, "test_gen", side, CAT), exist_ok=True)
+    from hyperpocket_tpu.data.plyio import load_ply
+
+    div_left_right_min_y(str(tmp_path), [f"{CAT}/model000.ply"])
+    left = load_ply(join(tmp_path, "test_gen", "left", CAT, "model000.ply"))
+    right = load_ply(join(tmp_path, "test_gen", "right", CAT, "model000.ply"))
+    assert left.shape == (1024, 3) and right.shape == (1024, 3)
+    assert left[:, 1].max() <= right[:, 1].min() + 1e-6  # split on y
+
+
+def test_generate_partial_dataset_script(tmp_path):
+    from tests.test_data import CAT, make_synthetic_shapenet
+    from util_scripts import generate_partial_dataset as gps
+
+    make_synthetic_shapenet(tmp_path, n_models=1, n_gt=2048)
+    gps.generate_one_shapenet((CAT, "model000.ply"), str(tmp_path), num_samples=2)
+    from hyperpocket_tpu.data.plyio import load_ply
+
+    for i in range(2):
+        ex = load_ply(join(tmp_path, "slices", "existing", CAT, f"{i}~model000.ply"))
+        mi = load_ply(join(tmp_path, "slices", "missing", CAT, f"{i}~model000.ply"))
+        assert ex.shape == (1024, 3)
+        assert ex.shape[0] + mi.shape[0] == 2048
