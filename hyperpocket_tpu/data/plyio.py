@@ -68,7 +68,22 @@ def _parse_header(f) -> tuple[str, list[tuple[str, int, list[tuple[str, str]]]],
 
 
 def load_ply(path: str | os.PathLike) -> np.ndarray:
-    """Read the vertex x/y/z columns of a PLY file -> (N, 3) float32."""
+    """Read the vertex x/y/z columns of a PLY file -> (N, 3) float32.
+
+    Uses the native C++ reader when built (binary little-endian files),
+    falling back to the numpy parser for everything else.
+    """
+    from hyperpocket_tpu.data import native
+
+    if native.available():
+        try:
+            return native.load_ply(path)
+        except Exception:
+            pass  # ascii/odd files: numpy path below
+    return _load_ply_numpy(path)
+
+
+def _load_ply_numpy(path: str | os.PathLike) -> np.ndarray:
     with open(path, "rb") as f:
         fmt, elements, offset = _parse_header(f)
         vertex = next((e for e in elements if e[0] == "vertex"), None)

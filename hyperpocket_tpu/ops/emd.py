@@ -84,30 +84,80 @@ def _cost_from_match(x, y, match):
     return jnp.sum(match * jnp.sqrt(d2), axis=(1, 2))
 
 
+def _match_cost_reference(x, y):
+    """Oracle path: materialised match (kept for tests/inspection)."""
+    return _cost_from_match(x, y, approx_match(x, y))
+
+
+def _streaming_cost(x, y):
+    """One pass over the 9 rounds accumulating the cost without ever
+    carrying the (B, N, M) match matrix.
+
+    Uses the bilinear structure of each round's transported mass
+    ``w = kern * ratio_l (x) ratio_r``: every reduction of ``w`` factorises
+    into diagonal scalings around one matvec over ``kern``, so per round
+    only transient (B, N, M) tensors exist and the carried state is
+    O(N + M) plus the cost scalar.
+    """
+    n, m = x.shape[1], y.shape[1]
+    multi_l, multi_r = _match_multipliers(n, m)
+    d2 = batch_pairwise_sqdist(x, y)  # (B, N, M), the only persistent NM buffer
+    dist = jnp.sqrt(jnp.maximum(d2, 0.0))
+
+    def round_fn(carry, level):
+        remain_l, remain_r, cost = carry
+        kern = jnp.exp(level * d2)
+        suml = jnp.einsum("bnm,bm->bn", kern, remain_r) + 1e-9
+        ratio_l = remain_l / suml
+        sumr = jnp.einsum("bnm,bn->bm", kern, ratio_l) * remain_r
+        consumption = jnp.minimum(remain_r / (sumr + 1e-9), 1.0)
+        ratio_r = consumption * remain_r
+        remain_r = jnp.maximum(0.0, remain_r - sumr)
+        # cost += sum_kl w * dist  (bilinear in ratio_l, ratio_r)
+        cost = cost + jnp.einsum(
+            "bn,bn->b", ratio_l, jnp.einsum("bnm,bm->bn", kern * dist, ratio_r)
+        )
+        # remainder update needs w's row sums
+        w_row = ratio_l * jnp.einsum("bnm,bm->bn", kern, ratio_r)
+        remain_l = jnp.maximum(0.0, remain_l - w_row)
+        return (remain_l, remain_r, cost), None
+
+    b = x.shape[0]
+    init = (
+        jnp.full((b, n), multi_l, dtype=x.dtype),
+        jnp.full((b, m), multi_r, dtype=x.dtype),
+        jnp.zeros((b,), x.dtype),
+    )
+    (_, _, cost), _ = lax.scan(round_fn, init, jnp.asarray(_LEVELS, dtype=x.dtype))
+    return cost
+
+
 @jax.custom_vjp
 def match_cost(x: jax.Array, y: jax.Array) -> jax.Array:
     """Approximate EMD: ``sum(match * |x - y|)`` per cloud pair -> (B,).
 
     Mirrors the reference ``MatchCostFunction``
-    (utils/pytorch_structural_losses/match_cost.py:5-48): forward runs
-    approx_match + matchcost; backward treats the match as constant.
+    (utils/pytorch_structural_losses/match_cost.py:5-48): forward runs the
+    9-round matching + cost in streaming form (no (B, N, M) match matrix is
+    carried or saved); backward recomputes the match and applies the CUDA
+    gradient formulas (approxmatch.cu:260-322) — pairing each distance with
+    its weight before reduction, which avoids the cancellation a
+    factorised accumulation would suffer at near-zero distances.
     """
-    return _cost_from_match(x, y, approx_match(x, y))
+    return _streaming_cost(x, y)
 
 
 def _match_cost_fwd(x, y):
-    match = approx_match(x, y)
-    return _cost_from_match(x, y, match), (x, y, match)
+    return _streaming_cost(x, y), (x, y)
 
 
 def _match_cost_bwd(res, g):
-    x, y, match = res
-    # inv_d = 1/|x_k - y_l| with the CUDA clamp rsqrt(max(d2, 1e-20))
-    # (approxmatch.cu:279,312).
+    x, y = res
+    match = approx_match(x, y)
     d2 = jnp.maximum(batch_pairwise_sqdist(x, y), 1e-20)
     mt = match * lax.rsqrt(d2)  # (B, N, M)
-    row = jnp.sum(mt, axis=2)  # (B, N)
-    col = jnp.sum(mt, axis=1)  # (B, M)
+    row = jnp.sum(mt, axis=2)
+    col = jnp.sum(mt, axis=1)
     # grad_x[k] = sum_l mt (x_k - y_l);  grad_y[l] = sum_k mt (y_l - x_k)
     gx = x * row[..., None] - jnp.einsum("bnm,bmd->bnd", mt, y)
     gy = y * col[..., None] - jnp.einsum("bnm,bnd->bmd", mt, x)

@@ -1,0 +1,190 @@
+"""3D-EPN, Completion3D and real-scan datasets on synthetic directory trees."""
+
+import csv
+import os
+from os.path import join
+
+import numpy as np
+import pytest
+
+from hyperpocket_tpu.data.completion3d import Completion3DDataset
+from hyperpocket_tpu.data.plyio import save_ply
+from hyperpocket_tpu.data.real_data import RealDataNPYDataset
+from hyperpocket_tpu.data.shapenet_3depn import (
+    ShapeNet3DEPNDataset,
+    collect_split_by_id,
+    sample_point_cloud_by_n,
+)
+
+CAT = "03001627"  # chair
+
+
+# ---------------------------------------------------------------------------
+# 3D-EPN
+# ---------------------------------------------------------------------------
+
+
+def make_3depn_tree(root, n_models=3, num_samples=2):
+    rng = np.random.default_rng(0)
+    rows = [["id", "synsetId", "subSynsetId", "modelId", "split"]]
+    for d in ("existing", "missing", "gt"):
+        os.makedirs(join(root, "slices", d, CAT), exist_ok=True)
+    os.makedirs(join(root, "ShapeNetPointCloud", CAT), exist_ok=True)
+    os.makedirs(join(root, "shapenet_dim32_sdf_pc", CAT), exist_ok=True)
+    for i in range(n_models):
+        name = f"m{i:02d}"
+        gt = rng.standard_normal((256, 3)).astype(np.float32)
+        save_ply(join(root, "slices", "gt", CAT, name + ".ply"), gt)
+        for k in range(num_samples):
+            save_ply(join(root, "slices", "existing", CAT, f"{k}~{name}.ply"), gt[:128])
+            save_ply(join(root, "slices", "missing", CAT, f"{k}~{name}.ply"), gt[128:])
+        # test-split assets
+        save_ply(join(root, "ShapeNetPointCloud", CAT, name + ".ply"), gt)
+        for raw in range(8):
+            save_ply(join(root, "shapenet_dim32_sdf_pc", CAT, f"{name}__{raw}__.ply"),
+                     gt[: 64 + raw])
+        rows.append([f"{i:06d}", CAT, CAT, name, "test" if i == 0 else "train"])
+    with open(join(root, "shapenet-official-split.csv"), "w", newline="") as fh:
+        csv.writer(fh).writerows(rows)
+
+
+def test_3depn_train_split(tmp_path):
+    make_3depn_tree(tmp_path)
+    ds = ShapeNet3DEPNDataset(str(tmp_path), split="train", classes=[CAT], num_samples=2)
+    assert len(ds) == 6  # 3 models x 2 samples
+    existing, missing, gt, label = ds[3]
+    assert existing.shape == (128, 3) and gt.shape == (256, 3)
+    assert label == "m01"  # filename sans .ply
+
+
+def test_3depn_test_split_deterministic(tmp_path):
+    import random
+
+    make_3depn_tree(tmp_path)
+    ds1 = ShapeNet3DEPNDataset(str(tmp_path), split="test", classes=[CAT])
+    ds2 = ShapeNet3DEPNDataset(str(tmp_path), split="test", classes=[CAT])
+    assert len(ds1) == 1  # only model 0 is in the test split
+    # the raw-scan choice comes from the instance's Random(1234) stream; the
+    # resampling uses the global RNG (as in the reference), so pin it here
+    random.seed(7)
+    raw1, _, real1, name1 = ds1[0]
+    random.seed(7)
+    raw2, _, real2, name2 = ds2[0]
+    assert raw1.shape == (1024, 3) and real1.shape == (2048, 3)
+    assert name1 == name2 == "m00"
+    np.testing.assert_array_equal(raw1, raw2)
+    np.testing.assert_array_equal(real1, real2)
+
+
+def test_3depn_axis_swap_applied(tmp_path):
+    make_3depn_tree(tmp_path)
+    ds = ShapeNet3DEPNDataset(str(tmp_path), split="test", classes=[CAT])
+    raw, _, _, _ = ds[0]
+    # rotation preserves norms
+    assert np.isfinite(raw).all()
+
+
+def test_collect_split_by_id(tmp_path):
+    make_3depn_tree(tmp_path)
+    info = collect_split_by_id(join(tmp_path, "shapenet-official-split.csv"), CAT)
+    assert info["test"] == ["m00"]
+    assert info["train"] == ["m01", "m02"]
+
+
+def test_sample_point_cloud_by_n():
+    pts = np.arange(30).reshape(10, 3)
+    up = sample_point_cloud_by_n(pts, 16)
+    down = sample_point_cloud_by_n(pts, 4)
+    same = sample_point_cloud_by_n(pts, 10)
+    assert up.shape == (16, 3) and down.shape == (4, 3)
+    np.testing.assert_array_equal(same, pts)
+    np.testing.assert_array_equal(up[:10], pts)  # upsample keeps originals first
+
+
+# ---------------------------------------------------------------------------
+# Completion3D
+# ---------------------------------------------------------------------------
+
+
+def make_completion_tree(root, n_models=4):
+    import h5py
+
+    rng = np.random.default_rng(1)
+    names = [f"{'02691156' if i % 2 else '03001627'}/model{i}" for i in range(n_models)]
+    for split in ("train", "val", "test"):
+        for kind in ("partial", "gt"):
+            for name in names:
+                path = join(root, split, kind, name + ".h5")
+                if split == "test" and kind == "gt":
+                    continue
+                os.makedirs(os.path.dirname(path), exist_ok=True)
+                with h5py.File(path, "w") as fh:
+                    fh.create_dataset("data", data=rng.standard_normal((64, 3)).astype(np.float32))
+        with open(join(root, f"{split}.list"), "w") as fh:
+            fh.write("\n".join(names))
+    return names
+
+
+def test_completion3d_train_and_test(tmp_path):
+    h5py = pytest.importorskip("h5py")
+    names = make_completion_tree(tmp_path)
+    ds = Completion3DDataset(str(tmp_path), split="train")
+    assert len(ds) == 4
+    existing, missing, gt, name = ds[0]
+    assert existing.shape == (64, 3) and gt.shape == (64, 3)
+    assert missing == 0  # scalar placeholder (completion3d.py:48)
+    assert name == names[0]
+
+    test = Completion3DDataset(str(tmp_path), split="test")
+    e, _, g, _ = test[0]
+    np.testing.assert_array_equal(e, g)  # no gt in test -> gt := existing
+
+
+def test_completion3d_val_by_category(tmp_path):
+    pytest.importorskip("h5py")
+    make_completion_tree(tmp_path)
+    val = Completion3DDataset.get_validation_datasets(str(tmp_path),
+                                                      classes=["02691156", "03001627"])
+    assert set(val) == {"airplane", "chair"}
+    assert len(val["airplane"]) == 2
+
+
+def test_completion3d_class_filter(tmp_path):
+    pytest.importorskip("h5py")
+    make_completion_tree(tmp_path)
+    ds = Completion3DDataset(str(tmp_path), split="train", classes=["02691156"])
+    assert len(ds) == 2
+
+
+# ---------------------------------------------------------------------------
+# Real scans
+# ---------------------------------------------------------------------------
+
+
+def test_real_data_scaling_roundtrip(tmp_path):
+    rng = np.random.default_rng(2)
+    obj = (rng.standard_normal((500, 3)) * 5 + 10).astype(np.float32)
+    scene = rng.standard_normal((100, 3)).astype(np.float32)
+    np.save(tmp_path / "object_0.npy", obj)
+    np.save(tmp_path / "scene_0.npy", scene)
+    ds = RealDataNPYDataset(str(tmp_path))
+    assert len(ds) == 1
+    pcd, _, _, idx = ds[0]
+    assert pcd.shape == (1024, 3)
+    # normalised into the 0.9 box
+    assert (pcd.max(0) - pcd.min(0)).max() <= 0.9 + 1e-5
+    # inverse scale puts it back at the original location/extent
+    restored = ds.inverse_scale(0, pcd)
+    assert abs((restored.max(0) - restored.min(0)).max()
+               - (obj.max(0) - obj.min(0)).max()) < 0.5
+    merged = ds.inverse_scale_to_scene(0, pcd)
+    assert merged.shape == (100 + 1024, 3)
+
+
+def test_real_data_missing_assets_raise(tmp_path):
+    np.save(tmp_path / "object_0.npy", np.zeros((10, 3), np.float32))
+    ds = RealDataNPYDataset(str(tmp_path))
+    with pytest.raises(ValueError):
+        ds.get_scene(0)
+    with pytest.raises(ValueError):
+        ds.get_obj_box(0)
