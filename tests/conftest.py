@@ -14,4 +14,13 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax  # noqa: E402
 
+# The machine's sitecustomize may have imported jax already (axon TPU
+# plugin), baking JAX_PLATFORMS from the shell env; override via config,
+# which takes effect as long as no backend has been initialised yet.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
+
+assert len(jax.devices()) == 8, (
+    "tests require the simulated 8-device CPU mesh; got "
+    f"{jax.devices()} — check XLA_FLAGS/JAX_PLATFORMS handling in conftest"
+)

@@ -1,0 +1,35 @@
+"""Experimental fused Pallas EMD vs the XLA streaming implementation."""
+
+import jax
+import numpy as np
+import pytest
+
+from hyperpocket_tpu.ops.emd import match_cost
+from hyperpocket_tpu.ops.pallas_emd import emd_shapes_ok, match_cost_pallas_fwd
+
+
+@pytest.fixture
+def clouds():
+    rng = np.random.default_rng(0)
+    x = (rng.standard_normal((2, 128, 3)) * 0.3).astype(np.float32)
+    y = (rng.standard_normal((2, 128, 3)) * 0.3).astype(np.float32)
+    return jax.numpy.asarray(x), jax.numpy.asarray(y)
+
+
+def test_matches_xla_streaming(clouds):
+    x, y = clouds
+    a = np.asarray(match_cost_pallas_fwd(x, y, interpret=True))
+    b = np.asarray(jax.jit(match_cost)(x, y))
+    np.testing.assert_allclose(a, b, rtol=1e-4)
+
+
+def test_unequal_sizes(clouds):
+    x, y = clouds
+    a = np.asarray(match_cost_pallas_fwd(x, y[:, :32].repeat(1, axis=0), interpret=True))
+    b = np.asarray(jax.jit(match_cost)(x, y[:, :32]))
+    np.testing.assert_allclose(a, b, rtol=1e-4)
+
+
+def test_shape_gate():
+    assert emd_shapes_ok(2048, 1024)
+    assert not emd_shapes_ok(100, 2048)
