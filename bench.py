@@ -23,6 +23,9 @@ def run_bench(batch: int = 256, iters: int = 30, warmup: int = 5) -> dict:
     from __graft_entry__ import FLAGSHIP_CONFIG
     from hyperpocket_tpu.models import FullModel
 
+    # measure at the training-quality numerics (fp32 accumulation)
+    jax.config.update("jax_default_matmul_precision", "highest")
+
     model = FullModel.from_config(FLAGSHIP_CONFIG)
     params = model.init(jax.random.key(0))
 

@@ -95,11 +95,13 @@ class ExperimentContext:
 
 def fixed(ctx: ExperimentContext, datasets_dict, results_dir: str, epoch, amount=30,
           mean=0.0, std=0.015, noises_per_item=10, batch_size=8, save_plots=False,
-          triangulation_config=None):
+          triangulation_config=None, num_points=2048):
     """Reference core/experiments.py:23-60. Artifacts are (3, N) npy files.
 
-    ``triangulation_config`` is accepted-but-ignored, as in the reference
-    (experiments.py:25; utils/sphere_triangles.py is dead code there).
+    ``num_points`` defaults to the reference's hardcoded 2048-point output
+    (experiments.py:42). ``triangulation_config`` is accepted-but-ignored,
+    as in the reference (experiments.py:25; utils/sphere_triangles.py is
+    dead code there).
     """
     out_dir = join(results_dir, "fixed")
     shutil.rmtree(out_dir, ignore_errors=True)
@@ -110,7 +112,7 @@ def fixed(ctx: ExperimentContext, datasets_dict, results_dir: str, epoch, amount
         for i, (existing, _, _, _) in enumerate(loader.epoch(0)):
             for j in range(noises_per_item):
                 noise = ctx.sample_noise(existing.shape[0], mean, std)
-                rec = ctx.complete(existing, noise)  # (B, 2048, 3)
+                rec = ctx.complete(existing, noise, num_points=num_points)  # (B, P, 3)
                 for k in range(rec.shape[0]):
                     np.save(join(out_dir, f"{cat_name}_{i * batch_size + k}_{j}_reconstruction"),
                             rec[k].T)
@@ -274,6 +276,55 @@ def completion3d_submission(ctx: ExperimentContext, datasets_dict, results_dir: 
                 with h5py.File(ofile, "w") as fh:
                     fh.create_dataset("data", data=rec[idx])
                 zf.write(ofile, "all/" + basename(ofile))
+
+
+def make_tsne_reduction(ctx: ExperimentContext, datasets_dict, results_dir: str, epoch,
+                        cat_name: str | None = None, amount: int = 100):
+    """t-SNE of latents and target-network weights over a category.
+
+    Cleaned-up, working version of the reference's unregistered
+    ``make_tsne_reduction`` (core/experiments.py:250-389): for each of
+    ``amount`` random gt clouds, encode two different axis-sorted slicings
+    (x-split and y-split), embed the latents and the flat target-network
+    weights with t-SNE, save both embeddings and the per-object distance
+    between the two slicings' embeddings. Like the reference, it is NOT in
+    the default registry; register via ``experiment_functions_dict`` or call
+    from ``temp_exp``.
+    """
+    from sklearn import manifold
+
+    out_dir = join(results_dir, "temp_exp")
+    os.makedirs(out_dir, exist_ok=True)
+    cats = [cat_name] if cat_name else list(datasets_dict)
+    for cat in cats:
+        ds = datasets_dict[cat]
+        ids = np.random.choice(len(ds), min(amount, len(ds)), replace=False)
+        latents, tnws = [], []
+        for i, idx in enumerate(ids):
+            gt = np.asarray(ds[idx][2], dtype=np.float32)
+            half = gt.shape[0] // 2
+            for axis in (0, 1):  # x-split then y-split (experiments.py:315-321)
+                order = np.argsort(gt.T[axis])
+                existing, missing = gt[order[half:]], gt[order[:half]]
+                latent, tnw = ctx.model.encode(
+                    ctx.params, jnp.asarray(existing)[None], jnp.asarray(missing)[None],
+                    ctx.next_key(), training=False,
+                )
+                latents.append(np.asarray(latent)[0])
+                tnws.append(np.asarray(tnw)[0])
+        latents, tnws = np.stack(latents), np.stack(tnws)
+        perplexity = max(1.0, min(30.0, (len(latents) - 1) / 3))
+        latent_tsne = manifold.TSNE(n_components=2, init="pca",
+                                    perplexity=perplexity).fit_transform(latents)
+        tnw_tsne = manifold.TSNE(n_components=2, init="pca",
+                                 perplexity=perplexity).fit_transform(tnws)
+        np.save(join(out_dir, f"{cat}_latent_tsne"), latent_tsne)
+        np.save(join(out_dir, f"{cat}_tnw_tsne"), tnw_tsne)
+        # distance between the two slicings of the same object in embedding space
+        latent_dist = np.linalg.norm(latent_tsne[0::2] - latent_tsne[1::2], axis=1)
+        tnw_dist = np.linalg.norm(tnw_tsne[0::2] - tnw_tsne[1::2], axis=1)
+        np.save(join(out_dir, f"{cat}_latent_dist"), latent_dist)
+        np.save(join(out_dir, f"{cat}_tnw_dist"), tnw_dist)
 
 
 def temp_exp(ctx: ExperimentContext, datasets_dict, results_dir: str, epoch):

@@ -157,6 +157,27 @@ class FullModel:
             return random_mu, None, None
         return noise, None, None
 
+    def encode(
+        self,
+        params: dict,
+        existing: jax.Array,
+        missing: jax.Array | None,
+        key: jax.Array,
+        *,
+        training: bool = True,
+        noise: jax.Array | None = None,
+    ):
+        """(latent (B, Z), flat target-network weights (B, W)).
+
+        The introspection hook the reference's t-SNE experiment obtains by
+        editing FullModel.forward's return (core/experiments.py:250-255).
+        """
+        latent, _, _ = self._get_latent(params, existing, missing, key, training, noise)
+        flat_weights = hyper_network_forward(
+            params["hyper_network"], latent, freeze_heads=self.freeze_heads
+        )
+        return latent, flat_weights
+
     def apply(
         self,
         params: dict,

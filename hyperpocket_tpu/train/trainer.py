@@ -88,6 +88,13 @@ class Trainer:
     def __init__(self, config: dict, *, datasets=None, use_mesh: bool | None = None):
         self.config = config
         seed_setup(config["setup"]["seed"])
+        # fp32 accumulation everywhere on the loss/model path by default —
+        # the <=1e-5 parity budget vs the fp32 CUDA reference (BASELINE.md);
+        # set training.matmul_precision to "default" to trade for speed.
+        jax.config.update(
+            "jax_default_matmul_precision",
+            config.get("training", {}).get("matmul_precision", "highest"),
+        )
         self.key = jax.random.key(config["setup"]["seed"])
 
         self.result_dir = get_results_dir_path(config, "training")

@@ -41,7 +41,7 @@ def test_experiments_mode_end_to_end(trained_setup, tmp_path):
         "epoch": "best_val",
         "settings": {
             "fixed": {"execute": True, "mean": 0.0, "std": 0.05, "amount": 4,
-                      "noises_per_item": 10, "batch_size": 2},
+                      "noises_per_item": 10, "batch_size": 2, "num_points": 64},
             "compute_mmd_tmd_uhd": {"execute": True, "batch_size": 4},
             "same_model_different_slices": {"execute": False},
             "evaluate_generativity": {"execute": False},
@@ -108,3 +108,27 @@ def test_merge_different_categories_requires_enough_models(trained_setup, tmp_pa
         merge_different_categories(ctx, {"car": test_dict["airplane"],
                                          "airplane": test_dict["airplane"]},
                                    str(tmp_path), 1, amount=10)
+
+
+def test_encode_and_tsne_reduction(trained_setup, tmp_path):
+    config, trainer = trained_setup
+    from hyperpocket_tpu.eval.experiments import ExperimentContext, make_tsne_reduction
+
+    test_dict = _ctx_and_datasets(config)
+    ctx = ExperimentContext(trainer.model, trainer.params, epoch=1)
+
+    import jax
+    import jax.numpy as jnp
+
+    latent, tnw = trainer.model.encode(
+        trainer.params, jnp.zeros((2, 32, 3)), jnp.zeros((2, 32, 3)),
+        jax.random.key(0), training=False,
+    )
+    assert latent.shape == (2, trainer.model.latent_size)
+    assert tnw.shape == (2, trainer.model.flat_weight_count)
+
+    make_tsne_reduction(ctx, test_dict, str(tmp_path), 1, amount=6)
+    out = os.listdir(join(tmp_path, "temp_exp"))
+    assert "airplane_latent_tsne.npy" in out and "airplane_tnw_tsne.npy" in out
+    emb = np.load(join(tmp_path, "temp_exp", "airplane_latent_tsne.npy"))
+    assert emb.shape == (2 * min(6, len(test_dict["airplane"])), 2)
