@@ -74,6 +74,28 @@ def get_datasets(config: dict):
     )
 
 
+def get_filenames_by_cat(path: str):
+    """DataFrame of (category, filename) over all known synset dirs.
+
+    Parity with reference utils/util.py:78-84 (drives the offline slicer).
+    """
+    import os
+
+    import pandas as pd
+
+    from hyperpocket_tpu.data.category_mapping import synth_id_to_category
+
+    filenames = []
+    for category_id in synth_id_to_category:
+        cat_dir = os.path.join(path, category_id)
+        if not os.path.isdir(cat_dir):
+            continue
+        for f in sorted(os.listdir(cat_dir)):
+            if f != ".DS_Store":
+                filenames.append((category_id, f))
+    return pd.DataFrame(filenames, columns=["category", "filename"])
+
+
 def resample_pcd(pcd, n: int, rng=None):
     """Random drop/duplicate to exactly n points (reference utils/util.py:95-100)."""
     import numpy as np

@@ -27,7 +27,9 @@ _EPOCH_RE = re.compile(r"^(?P<n>\d+)_(model\.npz|model\.pth|[DEG]\.pth)$")
 
 
 def save_tree(path: str, tree) -> None:
-    leaves = jax.tree_util.tree_leaves(tree)
+    # device_get fetches the whole tree in one transfer (per-leaf np.asarray
+    # would round-trip the device once per leaf — seconds each on axon).
+    leaves = jax.tree_util.tree_leaves(jax.device_get(tree))
     np.savez(path, *[np.asarray(leaf) for leaf in leaves])
 
 
@@ -41,11 +43,14 @@ def load_tree(path: str, template):
         )
     out = []
     for i, (saved, leaf) in enumerate(zip(loaded, leaves)):
-        if np.shape(saved) != np.shape(leaf):
+        # use metadata only — never fetch the template's device buffers
+        shape = leaf.shape if hasattr(leaf, "shape") else np.shape(leaf)
+        dtype = leaf.dtype if hasattr(leaf, "dtype") else np.asarray(leaf).dtype
+        if np.shape(saved) != tuple(shape):
             raise ValueError(
-                f"{path}: leaf {i} shape mismatch {np.shape(saved)} vs {np.shape(leaf)}"
+                f"{path}: leaf {i} shape mismatch {np.shape(saved)} vs {tuple(shape)}"
             )
-        out.append(jax.numpy.asarray(saved, dtype=np.asarray(leaf).dtype))
+        out.append(jax.numpy.asarray(saved, dtype=dtype))
     return jax.tree_util.tree_unflatten(treedef, out)
 
 

@@ -140,12 +140,14 @@ class Trainer:
             cat: BatchLoader(
                 ds,
                 vcfg.get("batch_size", 8),
-                shuffle=False,
+                shuffle=vcfg.get("shuffle", False),
                 drop_last=vcfg.get("drop_last", False),
                 num_workers=vcfg.get("num_workers", 8),
+                seed=config["setup"]["seed"] + 1,
             )
             for cat, ds in self.val_dataset_dict.items()
         }
+        self.profile_cfg = tr.get("profile", {})
 
         # Mesh: data-parallel over all devices when the batch divides evenly.
         n_dev = len(jax.devices())
@@ -249,9 +251,21 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def run(self, *, plot_samples: bool = True, tg_logger=None):
+        profiling = False
+        if self.profile_cfg.get("enable"):
+            import jax.profiler
+
+            jax.profiler.start_trace(self.profile_cfg.get("dir", join(self.result_dir, "trace")))
+            profiling = True
         for epoch in range(self.start_epoch, self.max_epoch + 1):
             t0 = time.monotonic()
             stats, latest = self.train_epoch(epoch)
+            if profiling and epoch >= self.start_epoch + self.profile_cfg.get("epochs", 1) - 1:
+                import jax.profiler
+
+                jax.profiler.stop_trace()
+                profiling = False
+                self.log.info("profiler trace written")
             self.train_losses.append(np.array([stats.loss_all, stats.loss_r, stats.loss_kld]))
 
             msg = (

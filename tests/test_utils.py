@@ -123,3 +123,43 @@ def test_generate_partial_dataset_script(tmp_path):
         mi = load_ply(join(tmp_path, "slices", "missing", CAT, f"{i}~model000.ply"))
         assert ex.shape == (1024, 3)
         assert ex.shape[0] + mi.shape[0] == 2048
+
+
+def test_get_filenames_by_cat(tmp_path):
+    from hyperpocket_tpu.data.base import get_filenames_by_cat
+    from tests.test_data import CAT, make_synthetic_shapenet
+
+    make_synthetic_shapenet(tmp_path, n_models=3)
+    df = get_filenames_by_cat(str(tmp_path))
+    assert list(df.columns) == ["category", "filename"]
+    assert (df["category"] == CAT).all()
+    assert len(df) == 3
+
+
+def test_initialize_multihost_noop_single_process(monkeypatch):
+    from hyperpocket_tpu.parallel import distributed
+
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+    monkeypatch.delenv("JAX_NUM_PROCESSES", raising=False)
+    assert distributed.initialize_multihost() is False
+
+
+def test_local_batch_slice_single_host():
+    from hyperpocket_tpu.parallel.distributed import local_batch_slice
+
+    assert local_batch_slice(64) == slice(0, 64)
+
+
+def test_step_timer():
+    from hyperpocket_tpu.utils.profiling import StepTimer
+
+    t = StepTimer(window=4)
+    for _ in range(3):
+        t.start()
+        t.stop(items=8)
+    assert t.mean_step_seconds > 0
+    assert t.items_per_second > 0
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError):
+        t.stop()
