@@ -87,16 +87,27 @@ class BatchLoader:
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def put(item) -> bool:
+            """Bounded put that gives up when the consumer is gone."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def produce():
             try:
                 for idx in batches:
                     if stop.is_set():
                         return
                     items = list(pool.map(self.dataset.__getitem__, [int(i) for i in idx]))
-                    q.put(collate(items))
-                q.put(None)
+                    if not put(collate(items)):
+                        return
+                put(None)
             except BaseException as exc:  # surface loader errors to the consumer
-                q.put(exc)
+                put(exc)
 
         producer = threading.Thread(target=produce, daemon=True)
         producer.start()

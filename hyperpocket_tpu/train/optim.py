@@ -26,8 +26,16 @@ from typing import Callable
 import optax
 
 
-def make_optimizer(opt_config: dict) -> optax.GradientTransformation:
-    """Build an optax optimizer from a reference-schema optimizer config."""
+def make_optimizer(opt_config: dict, trainable_mask=None) -> optax.GradientTransformation:
+    """Build an optax optimizer from a reference-schema optimizer config.
+
+    ``trainable_mask``: optional pytree of bools matching the params; False
+    leaves receive zero updates (``optax.set_to_zero`` via multi_transform —
+    NOT ``optax.masked``, which would pass raw gradients through unscaled).
+    The reference excludes frozen hypernetwork heads from the optimizer
+    (full_model.py's ``parameters``); stop_gradient alone would not stop
+    coupled weight decay.
+    """
     kind = opt_config["type"]
     hp = dict(opt_config.get("hyperparams", {}))
     lr = float(hp.pop("lr", 1e-3))
@@ -81,6 +89,18 @@ def make_optimizer(opt_config: dict) -> optax.GradientTransformation:
 
     else:
         raise ValueError(f"unsupported optimizer type: {kind!r}")
+
+    if trainable_mask is not None:
+        import jax.tree_util as jtu
+
+        labels = jtu.tree_map(lambda t: "train" if t else "freeze", trainable_mask)
+        inner_build = build
+
+        def build(learning_rate):  # noqa: F811 — frozen leaves get zero updates
+            return optax.multi_transform(
+                {"train": inner_build(learning_rate), "freeze": optax.set_to_zero()},
+                labels,
+            )
 
     return optax.inject_hyperparams(build)(learning_rate=lr)
 

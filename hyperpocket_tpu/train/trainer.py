@@ -116,7 +116,7 @@ class Trainer:
         self.max_epoch = int(tr["max_epoch"])
         self.save_freq = int(tr.get("state_save_frequency", 1))
         self.min_save_epoch = int(tr.get("min_save_epoch", 0))
-        self.tx = make_optimizer(tr["optimizer"])
+        self.tx = make_optimizer(tr["optimizer"], self._trainable_mask())
         base_lr = float(tr["optimizer"].get("hyperparams", {}).get("lr", 1e-3))
         self.lr_schedule = make_lr_schedule(tr.get("lr_scheduler"), base_lr)
         self.opt_state = self.tx.init(self.params)
@@ -170,6 +170,19 @@ class Trainer:
         self._maybe_restore()
 
     # ------------------------------------------------------------------
+    def _trainable_mask(self):
+        """False for frozen hypernet heads (excluded from the optimizer,
+        like the reference's plain-list heads); None when nothing is frozen."""
+        if not self.model.freeze_heads:
+            return None
+        import jax.tree_util as jtu
+
+        def mask_for(path, _):
+            keys = [getattr(p, "key", None) for p in path]
+            return not ("hyper_network" in keys and "heads" in keys)
+
+        return jtu.tree_map_with_path(mask_for, self.params)
+
     def _next_key(self):
         self.key, sub = jax.random.split(self.key)
         return sub

@@ -172,3 +172,25 @@ def test_loader_propagates_worker_errors(tmp_path):
     loader = BatchLoader(Boom(), 2, num_workers=2)
     with pytest.raises(RuntimeError, match="broken item"):
         list(loader.epoch(0))
+
+
+def test_loader_early_exit_does_not_leak(tmp_path):
+    """Breaking out of an epoch mid-way must stop the producer promptly."""
+    import threading
+    import time
+
+    make_synthetic_shapenet(tmp_path, n_models=10)
+    with open(join(tmp_path, "train.list"), "w") as fh:
+        fh.write("\n".join(f"{CAT}/model{i:03d}" for i in range(10)))
+    ds = MissingShapeNetDataset(str(tmp_path), split="train", num_samples=1)
+    loader = BatchLoader(ds, 1, num_workers=2, prefetch=1)
+    before = threading.active_count()
+    for _ in range(5):
+        g = loader.epoch(0)
+        next(g)
+        g.close()
+    # bounded puts let producers notice the stop event within ~0.1s each
+    deadline = time.monotonic() + 5.0
+    while threading.active_count() > before + 1 and time.monotonic() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before + 1

@@ -130,3 +130,29 @@ def test_reconstruction_loss_coef():
     assert float(reconstruction_loss(gt, rec, 0.05)) == pytest.approx(
         0.05 * float(reconstruction_loss(gt, rec, 1.0)), rel=1e-6
     )
+
+
+def test_frozen_heads_masked_from_weight_decay():
+    """Coupled weight decay must not move frozen hypernet heads."""
+    import jax
+    import jax.numpy as jnp
+
+    from hyperpocket_tpu.models import FullModel
+    from tests.test_models import _cfg
+
+    model = FullModel.from_config(_cfg(8, 8, freeze=True))
+    params = model.init(jax.random.key(0))
+    mask = jax.tree_util.tree_map_with_path(
+        lambda path, _: not ("hyper_network" in [getattr(p, "key", None) for p in path]
+                             and "heads" in [getattr(p, "key", None) for p in path]),
+        params,
+    )
+    tx = make_optimizer({"type": "Adam", "hyperparams": {"lr": 0.1, "weight_decay": 0.5}},
+                        trainable_mask=mask)
+    state = tx.init(params)
+    zero_grads = jax.tree_util.tree_map(jnp.zeros_like, params)
+    updates, _ = tx.update(zero_grads, state, params)
+    heads_update = updates["hyper_network"]["heads"]["w"]
+    trunk_update = updates["hyper_network"]["trunk"][0]["w"]
+    assert float(jnp.abs(heads_update).max()) == 0.0  # frozen: untouched
+    assert float(jnp.abs(trunk_update).max()) > 0.0  # decay moves trainables
