@@ -12,6 +12,11 @@ from hyperpocket_tpu.ops.chamfer import (
     nn_distance,
 )
 from hyperpocket_tpu.ops.emd import approx_match, match_cost, earth_mover_distance
+from hyperpocket_tpu.ops.pallas_nn import (
+    chamfer_loss_auto,
+    chamfer_loss_streaming,
+    nn_distance_pallas,
+)
 from hyperpocket_tpu.ops.sampling import (
     sample_uniform_ball,
     progressive_normalize,
@@ -26,6 +31,9 @@ __all__ = [
     "approx_match",
     "match_cost",
     "earth_mover_distance",
+    "chamfer_loss_auto",
+    "chamfer_loss_streaming",
+    "nn_distance_pallas",
     "sample_uniform_ball",
     "progressive_normalize",
     "generate_target_network_input",

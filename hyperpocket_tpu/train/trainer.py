@@ -215,7 +215,10 @@ class Trainer:
     # ------------------------------------------------------------------
     def train_epoch(self, epoch: int) -> tuple[EpochStats, tuple]:
         set_learning_rate(self.opt_state, self.lr_schedule(epoch))
-        sums = np.zeros(3)
+        # Device-side loss accumulation: per-batch float() fetches would pay
+        # a host round-trip each step (seconds under tunnel latency); instead
+        # stack the scalars on device and fetch ONCE per epoch.
+        device_losses = []
         n_batches = 0
         latest = None
         ep = jnp.asarray(float(epoch))
@@ -232,9 +235,16 @@ class Trainer:
                 self.params, self.opt_state, d_existing, d_missing, d_gt,
                 self._next_key(), ep, num_points=int(gt.shape[1]),
             )
-            sums += np.array([float(loss), float(loss_r), float(loss_k)])
+            device_losses.append(jnp.stack([loss, loss_r, loss_k]))
             n_batches += 1
-            latest = (existing, gt, np.asarray(rec))
+            latest = (existing, gt, rec)
+        sums = (
+            np.asarray(jnp.sum(jnp.stack(device_losses), axis=0))
+            if device_losses
+            else np.zeros(3)
+        )
+        if latest is not None:
+            latest = (latest[0], latest[1], np.asarray(latest[2]))
         stats = EpochStats(*(sums / max(n_batches, 1)))
         return stats, latest
 
@@ -244,7 +254,7 @@ class Trainer:
         val_samples: dict[str, tuple] = {}
         ep = jnp.asarray(float(epoch))
         for cat, loader in self.val_loaders.items():
-            total, n = 0.0, 0
+            device_losses = []
             last = None
             for existing, missing, gt, _ in loader.epoch(epoch):
                 missing = self._prep_missing(missing, existing.shape[0])
@@ -253,9 +263,12 @@ class Trainer:
                     None if missing is None else jnp.asarray(missing),
                     jnp.asarray(gt), self._next_key(), ep, num_points=int(gt.shape[1]),
                 )
-                total += float(loss)
-                n += 1
-                last = (existing[0], gt[0], np.asarray(rec)[0])
+                device_losses.append(loss)
+                last = (existing[0], gt[0], rec)
+            n = len(device_losses)
+            total = float(jnp.sum(jnp.stack(device_losses))) if device_losses else 0.0
+            if last is not None:
+                last = (last[0], last[1], np.asarray(last[2])[0])
             val_losses[cat] = np.array([total / max(n, 1)])
             val_samples[cat] = last
         total = sum(v for v in val_losses.values())
