@@ -105,3 +105,23 @@ def test_val_epoch_per_category(trained):
     assert set(losses) == {"airplane", "total"}
     assert samples["airplane"][0].shape == (32, 3)
     assert samples["airplane"][2].shape == (64, 3)
+
+
+def test_hyper_cloud_mode_trains(tmp_path):
+    """HyperCloud (random encoder only, VAE on existing) end-to-end."""
+    import json
+
+    from hyperpocket_tpu.train.trainer import Trainer
+
+    root = tmp_path / "data"
+    make_synthetic_shapenet(root, n_models=4, n_gt=64, n_part=32)
+    config = make_config(root, tmp_path / "results", max_epoch=1)
+    config["full_model"]["real_encoder"]["output_size"] = 0
+
+    trainer = Trainer(config, use_mesh=False)
+    assert trainer.model.mode == "hyper_cloud"
+    assert not trainer.model.has_generativity  # KLD only in HyperPocket
+    train_losses, val_losses = trainer.run(plot_samples=False)
+    assert np.isfinite(train_losses[0]).all()
+    assert train_losses[0][2] == 0.0  # no KLD term
+    assert "1e16StepLR" in trainer.result_dir  # naming: one encoder, random only
