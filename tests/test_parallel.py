@@ -100,3 +100,25 @@ def test_shard_batch_layout():
     x = shard_batch(mesh, jnp.zeros((16, 4, 3)))
     assert x.sharding.spec == P(DATA_AXIS)
     assert x.shape == (16, 4, 3)
+
+
+def test_trainer_dp_end_to_end(tmp_path):
+    """Trainer with use_mesh=True shards batches over all 8 CPU devices."""
+    import numpy as np
+
+    from hyperpocket_tpu.train.trainer import Trainer
+    from tests.test_data import make_synthetic_shapenet
+    from tests.test_train_integration import make_config
+
+    root = tmp_path / "data"
+    make_synthetic_shapenet(root, n_models=10, n_gt=64, n_part=32)
+    with open(root / "train.list", "w") as fh:
+        fh.write("\n".join(f"02691156/model{i:03d}" for i in range(8)))
+    with open(root / "val.list", "w") as fh:
+        fh.write("02691156/model008")
+    config = make_config(root, tmp_path / "results", max_epoch=1, batch=8)
+
+    trainer = Trainer(config, use_mesh=True)
+    assert trainer.mesh is not None
+    train_losses, _ = trainer.run(plot_samples=False)
+    assert np.isfinite(train_losses[0]).all()
