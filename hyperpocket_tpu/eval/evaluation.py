@@ -26,7 +26,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from hyperpocket_tpu.ops.chamfer import chamfer_per_cloud, directed_hausdorff, nn_distance
+from hyperpocket_tpu.ops.chamfer import chamfer_per_cloud as _chamfer_per_cloud
+from hyperpocket_tpu.ops.chamfer import directed_hausdorff, nn_distance
+
+# jitted for host-loop callers (eager dispatch is slow over the axon tunnel)
+chamfer_per_cloud = jax.jit(_chamfer_per_cloud)
 
 
 def minimum_matching_distance(sample_pcs: np.ndarray, ref_pcs: np.ndarray, batch_size: int):

@@ -27,8 +27,12 @@ import jax.numpy as jnp
 import numpy as np
 from scipy.stats import entropy
 
-from hyperpocket_tpu.ops.chamfer import chamfer_per_cloud
+from hyperpocket_tpu.ops.chamfer import chamfer_per_cloud as _chamfer_per_cloud
 from hyperpocket_tpu.ops.emd import earth_mover_distance
+
+# host loops call these per chunk — must be jitted (eager dispatch is
+# pathologically slow over the axon tunnel)
+chamfer_per_cloud = jax.jit(_chamfer_per_cloud)
 
 
 def EMD_CD(sample_pcs, ref_pcs, batch_size: int, reduced: bool = True) -> dict:

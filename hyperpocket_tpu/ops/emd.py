@@ -187,5 +187,10 @@ def earth_mover_distance(sample: jax.Array, ref: jax.Array, batch_size: int | No
     chunk = min(batch_size or b, 300)
     outs = []
     for start in range(0, b, chunk):
-        outs.append(match_cost(sample[start : start + chunk], ref[start : start + chunk]))
+        outs.append(_match_cost_jit(sample[start : start + chunk], ref[start : start + chunk]))
     return jnp.concatenate(outs) / float(n)
+
+
+# jitted entry for host-loop callers (eager dispatch is pathologically slow
+# over the axon tunnel; see CLAUDE.md)
+_match_cost_jit = jax.jit(match_cost)
