@@ -46,28 +46,38 @@ class ExperimentContext:
     seed: int = 2020
 
     def __post_init__(self):
+        # host-side counter folded into keys inside jit: no eager RNG ops in
+        # the per-object loops (slow over the device tunnel)
+        self._counter = int(self.seed) * 1_000_003
         self._key = jax.random.key(self.seed)
 
         @partial(jax.jit, static_argnames=("num_points",))
-        def _complete(params, existing, noise, key, epoch, num_points):
+        def _complete(params, existing, noise, seed, epoch, num_points):
             return self.model.apply(
-                params, existing, None, key, epoch,
+                params, existing, None, jax.random.key(seed), epoch,
                 num_output_points=num_points, training=False, noise=noise,
             )
 
         @partial(jax.jit, static_argnames=("num_points",))
-        def _complete_from_missing(params, existing, missing, key, epoch, num_points):
+        def _complete_from_missing(params, existing, missing, seed, epoch, num_points):
             return self.model.apply(
-                params, existing, missing, key, epoch,
+                params, existing, missing, jax.random.key(seed), epoch,
                 num_output_points=num_points, training=False,
+            )
+
+        @partial(jax.jit, static_argnames=("batch",))
+        def _noise(seed, mean, std, batch):
+            return mean + std * jax.random.normal(
+                jax.random.key(seed), (batch, self.model.get_noise_size())
             )
 
         self._complete = _complete
         self._complete_from_missing = _complete_from_missing
+        self._noise = _noise
 
     def next_key(self):
-        self._key, sub = jax.random.split(self._key)
-        return sub
+        self._counter += 1
+        return np.uint32(self._counter & 0xFFFFFFFF)
 
     def complete(self, existing, noise, num_points: int = 2048) -> np.ndarray:
         """existing (B, N, 3) + noise (B, Z) -> completions (B, num_points, 3)."""
@@ -85,9 +95,7 @@ class ExperimentContext:
         return np.asarray(out)
 
     def sample_noise(self, batch: int, mean: float, std: float) -> np.ndarray:
-        return np.asarray(
-            mean + std * jax.random.normal(self.next_key(), (batch, self.model.get_noise_size()))
-        )
+        return np.asarray(self._noise(self.next_key(), float(mean), float(std), batch))
 
 
 # ---------------------------------------------------------------------------
@@ -308,7 +316,7 @@ def make_tsne_reduction(ctx: ExperimentContext, datasets_dict, results_dir: str,
                 existing, missing = gt[order[half:]], gt[order[:half]]
                 latent, tnw = ctx.model.encode(
                     ctx.params, jnp.asarray(existing)[None], jnp.asarray(missing)[None],
-                    ctx.next_key(), training=False,
+                    jax.random.key(ctx.next_key()), training=False,
                 )
                 latents.append(np.asarray(latent)[0])
                 tnws.append(np.asarray(tnw)[0])

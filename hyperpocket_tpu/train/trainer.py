@@ -39,10 +39,17 @@ from hyperpocket_tpu.utils.logging_setup import logging_setup, seed_setup
 
 
 def make_train_step(model: FullModel, tx, loss_coef: float):
-    """Returns jitted step(params, opt_state, existing, missing, gt, key, epoch)."""
+    """Returns jitted step(params, opt_state, existing, missing, gt, key, epoch).
+
+    ``key`` may be a PRNG key or a uint32 counter scalar — counters are
+    folded into a key *inside* the jit, so the host never runs an eager
+    ``random.split`` per step (slow over the device tunnel).
+    """
 
     @partial(jax.jit, static_argnames=("num_points",), donate_argnums=(0, 1))
     def step(params, opt_state, existing, missing, gt, key, epoch, num_points):
+        if jnp.issubdtype(jnp.asarray(key).dtype, jnp.integer):
+            key = jax.random.key(key)
         def loss_fn(p):
             rec, mu, sigma = model.apply(
                 p, existing, missing, key, epoch, num_output_points=num_points, training=True
@@ -67,6 +74,8 @@ def make_train_step(model: FullModel, tx, loss_coef: float):
 def make_val_step(model: FullModel, loss_coef: float):
     @partial(jax.jit, static_argnames=("num_points",))
     def step(params, existing, missing, gt, key, epoch, num_points):
+        if jnp.issubdtype(jnp.asarray(key).dtype, jnp.integer):
+            key = jax.random.key(key)
         rec = model.apply(
             params, existing, missing, key, epoch, num_output_points=num_points, training=False
         )
@@ -96,6 +105,7 @@ class Trainer:
             config.get("training", {}).get("matmul_precision", "highest"),
         )
         self.key = jax.random.key(config["setup"]["seed"])
+        self._seed_counter = int(config["setup"]["seed"]) * 1_000_003
 
         self.result_dir = get_results_dir_path(config, "training")
         self.weights_path = join(self.result_dir, "weights")
@@ -109,7 +119,7 @@ class Trainer:
         self.log = logging.getLogger("hyperpocket_tpu")
 
         self.model = FullModel.from_config(config["full_model"])
-        self.params = self.model.init(self._next_key())
+        self.params = self.model.init(self.key)
 
         tr = config["training"]
         self.loss_coef = float(tr.get("loss_coef", 0.05))
@@ -184,8 +194,13 @@ class Trainer:
         return jtu.tree_map_with_path(mask_for, self.params)
 
     def _next_key(self):
-        self.key, sub = jax.random.split(self.key)
-        return sub
+        """A fresh uint32 counter seed; folded into a PRNG key inside jit.
+
+        Host-side int arithmetic only — an eager ``random.split`` per batch
+        would round-trip the device tunnel each step.
+        """
+        self._seed_counter += 1
+        return np.uint32(self._seed_counter & 0xFFFFFFFF)
 
     def _maybe_restore(self):
         latest = ckpt.find_latest_epoch(self.weights_path)
