@@ -43,5 +43,10 @@ def main(config: dict) -> None:
         raise ValueError("mode should be `training` or `experiments`")
 
 
-if __name__ == "__main__":
+def _entry() -> None:
+    """console_scripts entry point."""
     main(parse_config())
+
+
+if __name__ == "__main__":
+    _entry()
