@@ -132,6 +132,32 @@ def _streaming_cost(x, y):
     return cost
 
 
+def _emd_impl() -> str:
+    """EMD forward implementation: 'auto' (default), 'xla', or 'pallas'."""
+    import os
+
+    return os.environ.get("HPCD_EMD_IMPL", "auto")
+
+
+def _forward_dispatch(x, y):
+    """Pick the fused Pallas kernel on TPU when it wins (measured ~1.85x at
+    N=2048 once per-call latency is excluded); XLA streaming otherwise."""
+    impl = _emd_impl()
+    if impl != "xla":
+        from hyperpocket_tpu.ops import pallas_emd
+
+        use_pallas = impl == "pallas" or (
+            jax.default_backend() == "tpu"
+            and pallas_emd.emd_shapes_ok(x.shape[1], y.shape[1])
+            and x.shape[0] >= 16
+        )
+        if use_pallas:
+            return pallas_emd.match_cost_pallas_fwd(
+                x, y, interpret=jax.default_backend() != "tpu"
+            )
+    return _streaming_cost(x, y)
+
+
 @jax.custom_vjp
 def match_cost(x: jax.Array, y: jax.Array) -> jax.Array:
     """Approximate EMD: ``sum(match * |x - y|)`` per cloud pair -> (B,).
@@ -139,16 +165,18 @@ def match_cost(x: jax.Array, y: jax.Array) -> jax.Array:
     Mirrors the reference ``MatchCostFunction``
     (utils/pytorch_structural_losses/match_cost.py:5-48): forward runs the
     9-round matching + cost in streaming form (no (B, N, M) match matrix is
-    carried or saved); backward recomputes the match and applies the CUDA
-    gradient formulas (approxmatch.cu:260-322) — pairing each distance with
-    its weight before reduction, which avoids the cancellation a
-    factorised accumulation would suffer at near-zero distances.
+    carried or saved) — fused Pallas kernel on TPU for aligned shapes and
+    B >= 16, XLA scan otherwise (override with HPCD_EMD_IMPL=xla|pallas);
+    backward recomputes the match and applies the CUDA gradient formulas
+    (approxmatch.cu:260-322) — pairing each distance with its weight before
+    reduction, which avoids the cancellation a factorised accumulation would
+    suffer at near-zero distances.
     """
-    return _streaming_cost(x, y)
+    return _forward_dispatch(x, y)
 
 
 def _match_cost_fwd(x, y):
-    return _streaming_cost(x, y), (x, y)
+    return _forward_dispatch(x, y), (x, y)
 
 
 def _match_cost_bwd(res, g):

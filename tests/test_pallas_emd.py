@@ -33,3 +33,27 @@ def test_unequal_sizes(clouds):
 def test_shape_gate():
     assert emd_shapes_ok(2048, 1024)
     assert not emd_shapes_ok(100, 2048)
+
+
+def test_dispatch_env_override(clouds, monkeypatch):
+    """HPCD_EMD_IMPL=pallas forces the fused kernel (interpret mode on CPU)."""
+    import jax.numpy as jnp
+
+    from hyperpocket_tpu.ops.emd import _forward_dispatch
+
+    x, y = clouds
+    monkeypatch.setenv("HPCD_EMD_IMPL", "pallas")
+    a = np.asarray(_forward_dispatch(x, y))
+    monkeypatch.setenv("HPCD_EMD_IMPL", "xla")
+    b = np.asarray(_forward_dispatch(x, y))
+    np.testing.assert_allclose(a, b, rtol=1e-4)
+
+
+def test_dispatch_auto_on_cpu_uses_xla(clouds, monkeypatch):
+    from hyperpocket_tpu.ops.emd import _forward_dispatch, _streaming_cost
+
+    x, y = clouds
+    monkeypatch.delenv("HPCD_EMD_IMPL", raising=False)
+    a = np.asarray(_forward_dispatch(x, y))
+    b = np.asarray(_streaming_cost(x, y))
+    np.testing.assert_allclose(a, b, rtol=1e-6)
