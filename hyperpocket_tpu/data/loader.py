@@ -48,6 +48,7 @@ class BatchLoader:
         seed: int = 0,
         num_workers: int = 8,
         prefetch: int = 2,
+        process_shard: tuple[int, int] = (0, 1),
     ):
         self.dataset = dataset
         self.batch_size = int(batch_size)
@@ -56,6 +57,14 @@ class BatchLoader:
         self.seed = seed
         self.num_workers = max(0, int(num_workers))
         self.prefetch = max(1, int(prefetch))
+        # multi-host data loading: each host loads its slice of every global
+        # batch (SURVEY.md §5 "per-host sharded file lists"); shuffling stays
+        # keyed on (seed, epoch) only, so all hosts agree on the global order
+        self.process_index, self.process_count = process_shard
+        if self.batch_size % self.process_count:
+            raise ValueError(
+                f"batch_size {batch_size} not divisible by process_count {self.process_count}"
+            )
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -71,6 +80,11 @@ class BatchLoader:
         batches = [order[i : i + self.batch_size] for i in range(0, n, self.batch_size)]
         if self.drop_last and batches and len(batches[-1]) < self.batch_size:
             batches.pop()
+        if self.process_count > 1:
+            per_host = self.batch_size // self.process_count
+            start = self.process_index * per_host
+            batches = [b[start : start + per_host] for b in batches]
+            batches = [b for b in batches if len(b)]
         return batches
 
     def epoch(self, epoch: int = 0) -> Iterator[tuple]:

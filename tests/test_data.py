@@ -194,3 +194,23 @@ def test_loader_early_exit_does_not_leak(tmp_path):
     while threading.active_count() > before + 1 and time.monotonic() < deadline:
         time.sleep(0.05)
     assert threading.active_count() <= before + 1
+
+
+def test_loader_process_sharding(tmp_path):
+    """Each host slice of a global batch is disjoint and covers the batch."""
+    make_synthetic_shapenet(tmp_path, n_models=10)
+    with open(join(tmp_path, "train.list"), "w") as fh:
+        fh.write("\n".join(f"{CAT}/model{i:03d}" for i in range(8)))
+    ds = MissingShapeNetDataset(str(tmp_path), split="train", num_samples=1)
+
+    full = BatchLoader(ds, 4, shuffle=True, seed=3, drop_last=True)
+    shards = [BatchLoader(ds, 4, shuffle=True, seed=3, drop_last=True,
+                          process_shard=(p, 2)) for p in range(2)]
+    full_batches = full._batch_indices(1)
+    shard_batches = [s._batch_indices(1) for s in shards]
+    for bi, fb in enumerate(full_batches):
+        merged = np.concatenate([shard_batches[0][bi], shard_batches[1][bi]])
+        np.testing.assert_array_equal(merged, fb)
+
+    with pytest.raises(ValueError, match="not divisible"):
+        BatchLoader(ds, 5, process_shard=(0, 2))
