@@ -35,6 +35,7 @@ def get_datasets(config: dict):
             is_random_rotated=config.get("is_rotated", False),
             num_samples=config.get("num_samples", 1),
             use_pcn_model_list=True,
+            cache=config.get("cache", False),
         )
         train = MissingShapeNetDataset(split="train", **common)
         val = MissingShapeNetDataset.get_validation_datasets(**common)

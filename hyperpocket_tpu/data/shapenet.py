@@ -52,6 +52,7 @@ class MissingShapeNetDataset:
         num_samples: int = 4,
         use_pcn_model_list: bool = True,
         is_gen: bool = False,
+        cache: bool = False,
     ):
         self.root_dir = root_dir
         self.split = split
@@ -59,6 +60,9 @@ class MissingShapeNetDataset:
         self.use_pcn_model_list = use_pcn_model_list
         self.is_gen = is_gen
         self.num_samples = 1 if is_gen else num_samples
+        # optional in-RAM file cache: at 0.7 ms/step the disk is the
+        # bottleneck, and the full 2048-pt MSN corpus is only ~700 MB
+        self._cache: dict[str, np.ndarray] | None = {} if cache else None
         classes = list(classes or [])
 
         if use_pcn_model_list:
@@ -88,18 +92,27 @@ class MissingShapeNetDataset:
     def __len__(self) -> int:
         return len(self.names) * self.num_samples
 
+    def _load(self, path: str) -> np.ndarray:
+        if self._cache is None:
+            return load_ply(path)
+        cloud = self._cache.get(path)
+        if cloud is None:
+            cloud = load_ply(path)
+            self._cache[path] = cloud
+        return cloud
+
     def __getitem__(self, idx: int):
         cat, model = self.names[idx // self.num_samples].split("/")
         scan_idx = str(idx % self.num_samples)
         fname = model + ".ply"
         if self.is_gen and self.split == "test":
-            existing = resample_pcd(load_ply(join(self.root_dir, "test_gen", "right", cat, fname)), 1024)
-            missing = resample_pcd(load_ply(join(self.root_dir, "test_gen", "left", cat, fname)), 1024)
-            gt = load_ply(join(self.root_dir, "test_gen", "gt", cat, fname))
+            existing = resample_pcd(self._load(join(self.root_dir, "test_gen", "right", cat, fname)), 1024)
+            missing = resample_pcd(self._load(join(self.root_dir, "test_gen", "left", cat, fname)), 1024)
+            gt = self._load(join(self.root_dir, "test_gen", "gt", cat, fname))
         else:
-            existing = load_ply(join(self.root_dir, "slices", "existing", cat, scan_idx + "~" + fname))
-            missing = load_ply(join(self.root_dir, "slices", "missing", cat, scan_idx + "~" + fname))
-            gt = load_ply(join(self.root_dir, cat, fname))
+            existing = self._load(join(self.root_dir, "slices", "existing", cat, scan_idx + "~" + fname))
+            missing = self._load(join(self.root_dir, "slices", "missing", cat, scan_idx + "~" + fname))
+            gt = self._load(join(self.root_dir, cat, fname))
         if self.is_random_rotated:
             rot = _rotation_z(np.random.randint(360))
             existing = existing @ rot

@@ -214,3 +214,18 @@ def test_loader_process_sharding(tmp_path):
 
     with pytest.raises(ValueError, match="not divisible"):
         BatchLoader(ds, 5, process_shard=(0, 2))
+
+
+def test_dataset_cache(tmp_path):
+    make_synthetic_shapenet(tmp_path)
+    ds = MissingShapeNetDataset(str(tmp_path), split="train", num_samples=1, cache=True)
+    a = ds[0]
+    b = ds[0]
+    np.testing.assert_array_equal(a[2], b[2])
+    assert len(ds._cache) == 3  # existing + missing + gt cached
+    # rotation augmentation must not mutate the cached arrays
+    ds_rot = MissingShapeNetDataset(str(tmp_path), split="train", num_samples=1,
+                                    cache=True, is_random_rotated=True)
+    ds_rot[0]
+    cached = ds_rot._cache[join(str(tmp_path), CAT, "model000.ply")]
+    np.testing.assert_array_equal(cached, load_ply(join(str(tmp_path), CAT, "model000.ply")))
