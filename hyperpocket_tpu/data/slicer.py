@@ -34,6 +34,55 @@ class HyperPlane:
         return f"HyperPlane(A={self.params[0]}, B={self.params[1]}, C={self.params[2]}, D={self.bias})"
 
 
+def slice_point_cloud_device(
+    points,
+    key,
+    target_partition_points: int = 1024,
+):
+    """Jittable device-side plane slicer -> (existing, missing), both fixed-shape.
+
+    Device analogue of :func:`slice_point_cloud` (BASELINE.json north star:
+    "dataset pocket-splitting ... moves into a device-side preprocessing
+    path"): a ``lax.while_loop`` redraws random planes until one side holds
+    exactly ``target_partition_points`` points; a stable argsort on the side
+    flag then partitions without any ragged shapes. Semantics mirror the
+    reference's rejection loop (dataset_generator.py:29-39): plane through
+    three U[0,1)^3 points, side test ``sign(p.n + bias) > 0``, and the
+    exact-count side is returned first.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    points = jnp.asarray(points)
+    n = points.shape[0]
+    target = target_partition_points
+
+    def draw(key):
+        key, sub = jax.random.split(key)
+        three = jax.random.uniform(sub, (3, 3), points.dtype)
+        normal = jnp.cross(three[1] - three[0], three[2] - three[0])
+        bias = jnp.dot(normal, three[0])
+        under = jnp.sign(points @ normal + bias) > 0
+        return key, under, jnp.sum(under)
+
+    def cond(state):
+        _, _, n_under = state
+        return jnp.logical_and(n_under != target, (n - n_under) != target)
+
+    def body(state):
+        key, _, _ = state
+        return draw(key)
+
+    key, under, n_under = lax.while_loop(cond, body, draw(key))
+    # put the exact-count side first (reference returns it as `existing`)
+    first_is_under = n_under == target
+    flag = jnp.where(first_is_under, under, ~under)
+    order = jnp.argsort(~flag, stable=True)  # flagged points first, in order
+    shuffled = points[order]
+    return shuffled[:target], shuffled[target:]
+
+
 def slice_point_cloud(
     points: np.ndarray,
     target_partition_points: int = 1024,

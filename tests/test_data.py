@@ -229,3 +229,21 @@ def test_dataset_cache(tmp_path):
     ds_rot[0]
     cached = ds_rot._cache[join(str(tmp_path), CAT, "model000.ply")]
     np.testing.assert_array_equal(cached, load_ply(join(str(tmp_path), CAT, "model000.ply")))
+
+
+def test_device_slicer_matches_host_semantics():
+    import jax
+
+    from hyperpocket_tpu.data.slicer import slice_point_cloud_device
+
+    rng = np.random.default_rng(9)
+    pts = rng.standard_normal((512, 3)).astype(np.float32)
+    fn = jax.jit(lambda p, k: slice_point_cloud_device(p, k, 256))
+    existing, missing = fn(pts, jax.random.key(0))
+    existing, missing = np.asarray(existing), np.asarray(missing)
+    assert existing.shape == (256, 3) and missing.shape == (256, 3)
+    both = np.concatenate([existing, missing])
+    assert sorted(map(tuple, both)) == sorted(map(tuple, pts))
+    # different keys -> different slicings
+    e2, _ = fn(pts, jax.random.key(1))
+    assert not np.array_equal(existing, np.asarray(e2))
