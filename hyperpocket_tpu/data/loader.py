@@ -61,10 +61,16 @@ class BatchLoader:
         # batch (SURVEY.md §5 "per-host sharded file lists"); shuffling stays
         # keyed on (seed, epoch) only, so all hosts agree on the global order
         self.process_index, self.process_count = process_shard
-        if self.batch_size % self.process_count:
-            raise ValueError(
-                f"batch_size {batch_size} not divisible by process_count {self.process_count}"
-            )
+        if self.process_count > 1:
+            if self.batch_size % self.process_count:
+                raise ValueError(
+                    f"batch_size {batch_size} not divisible by process_count {self.process_count}"
+                )
+            if not drop_last:
+                # a short final batch would shard unevenly (different leading
+                # dims per host) or leave some hosts a step short -> the next
+                # collective deadlocks
+                raise ValueError("multi-host sharded loading requires drop_last=True")
 
     def __len__(self) -> int:
         n = len(self.dataset)

@@ -86,7 +86,13 @@ class ShapeNet3DEPNDataset:
                 if exists(join(self.cat_pc_root, n + ".ply"))
                 and exists(join(self.cat_pc_raw_root, f"{n}__0__.ply"))
             ]
-            self.rng = random.Random(1234)  # fixed stream from the original publication
+            # The reference consumes Random(1234) once per __getitem__ call,
+            # which is only reproducible for a strictly sequential pass (and
+            # races under threaded loading). We draw the whole scan-choice
+            # sequence up front — identical to the reference's canonical
+            # sequential access order, but deterministic under any order.
+            rng = random.Random(1234)  # fixed stream from the original publication
+            self._raw_choice = [rng.randint(0, 7) for _ in self.shape_names]
         else:
             self.cat = classes[0]
             self.shape_names = sorted(os.listdir(join(root_dir, "slices", "gt", classes[0])))
@@ -99,14 +105,18 @@ class ShapeNet3DEPNDataset:
 
     def __getitem__(self, index: int):
         if self.split == "test":
-            raw_n = self.rng.randint(0, 7)
+            raw_n = self._raw_choice[index]
+            # per-index RNG for the resampling (the reference uses the global
+            # random module, which is neither thread-safe nor reproducible;
+            # deviation documented in PARITY.md)
+            rng = random.Random(1234 * 1_000_003 + index)
             raw = _load_mesh_vertices(
                 join(self.cat_pc_raw_root, f"{self.shape_names[index]}__{raw_n}__.ply")
             ).astype(np.float64)
             raw = (_AXIS_SWAP @ raw.T).T
-            raw = sample_point_cloud_by_n(raw, 1024).astype(np.float32)
+            raw = sample_point_cloud_by_n(raw, 1024, rng).astype(np.float32)
             real = _load_mesh_vertices(join(self.cat_pc_root, self.shape_names[index] + ".ply"))
-            real = sample_point_cloud_by_n(real, 2048).astype(np.float32)
+            real = sample_point_cloud_by_n(real, 2048, rng).astype(np.float32)
             return raw, 0, real, self.shape_names[index]
         fname = self.shape_names[index // self.num_samples]
         scan = str(index % self.num_samples)

@@ -135,6 +135,15 @@ def fixed(ctx: ExperimentContext, datasets_dict, results_dir: str, epoch, amount
                         plt.close(fig)
             for k in range(existing.shape[0]):
                 np.save(join(out_dir, f"{cat_name}_{i * batch_size + k}_existing"), existing[k].T)
+                if save_plots:
+                    from hyperpocket_tpu.utils.plotting import plot_3d_point_cloud
+
+                    fig = plot_3d_point_cloud(existing[k, :, 0], existing[k, :, 1],
+                                              existing[k, :, 2], in_u_sphere=True, show=False)
+                    fig.savefig(join(out_dir, f"{cat_name}_{i * batch_size + k}_existing.png"))
+                    import matplotlib.pyplot as plt
+
+                    plt.close(fig)
 
 
 def evaluate_generativity(ctx: ExperimentContext, datasets_dict, results_dir: str, epoch,
@@ -181,9 +190,18 @@ def compute_mmd_tmd_uhd(ctx: ExperimentContext, datasets_dict, results_dir: str,
 
     os.makedirs(join(results_dir, "compute_mmd_tmd_uhd"), exist_ok=True)
     shape_dir = join(results_dir, "fixed")
-    dataset = datasets_dict if not isinstance(datasets_dict, dict) else next(
-        iter(datasets_dict.values())
-    )
+    if isinstance(datasets_dict, dict):
+        if len(datasets_dict) != 1:
+            # fixed/ mixes categories into one directory while mmd_process
+            # stacks a single dataset's gt — multi-category would silently
+            # compare mismatched sets (the reference is per-class too)
+            raise ValueError(
+                "compute_mmd_tmd_uhd requires a single-category test set; got "
+                f"{sorted(datasets_dict)} — use a per-class config"
+            )
+        dataset = next(iter(datasets_dict.values()))
+    else:
+        dataset = datasets_dict
     res = {}
     mmd_v = mmd_process(shape_dir, dataset, batch_size)
     log.info("MMD * 1000 = %s", mmd_v * 1000)
@@ -201,7 +219,15 @@ def compute_mmd_tmd_uhd(ctx: ExperimentContext, datasets_dict, results_dir: str,
 
 def merge_different_categories(ctx: ExperimentContext, datasets_dict, results_dir: str, epoch,
                                amount=10, first_cat="car", second_cat="airplane"):
-    """Reference core/experiments.py:131-191: cross-category pocket transplants."""
+    """Reference core/experiments.py:131-191: cross-category pocket transplants.
+
+    Two reference bugs are deliberately fixed here (see PARITY.md):
+    ``second_cat_ids`` are drawn from the *second* dataset's length (the
+    reference indexes the second dataset with ids drawn from
+    ``len(first_cat_dataset)``, experiments.py:140), and the second~second
+    reconstruction uses the second category's missing half (the reference
+    reuses ``temp_f_missing``, experiments.py:190).
+    """
     out_dir = join(results_dir, "merge_different_categories")
     os.makedirs(out_dir, exist_ok=True)
     first_ds, second_ds = datasets_dict[first_cat], datasets_dict[second_cat]

@@ -192,10 +192,12 @@ class FullModel:
     ):
         """Forward pass.
 
-        existing/missing: (B, N, 3) clouds. Returns
-        ``(reconstruction (B, num_output_points, 3), mu, sigma)`` when
-        training, else just the reconstruction. ``sigma`` is
-        ``exp(std_head)`` exactly as the reference's third encoder output.
+        existing/missing: (B, N, 3) clouds. Training returns
+        ``(reconstruction (B, num_output_points, 3), mu, sigma)`` — in that
+        order — else just the reconstruction. ``sigma`` is ``exp(std_head)``
+        exactly as the reference's third encoder output (the reference
+        returns (rec, sigma, mu); we use (rec, mu, sigma) — kld_loss takes
+        (mu, sigma)).
         """
         k_enc, k_pts = jax.random.split(key)
         latent, mu, sigma = self._get_latent(params, existing, missing, k_enc, training, noise)

@@ -15,8 +15,9 @@ TPU-first design notes: the O(N*M) distance matrix is produced by one einsum
 that XLA tiles onto the MXU; fp32 accumulation with HIGHEST precision keeps
 the <=1e-5 parity target vs the fp32 CUDA reference. A streaming Pallas
 variant that never materialises the B,N,M matrix in HBM lives in
-``hyperpocket_tpu.ops.pallas_nn`` and is selected by ``nn_distance`` on TPU
-backends for large point counts.
+``hyperpocket_tpu.ops.pallas_nn`` (``nn_distance_pallas`` /
+``chamfer_loss_auto``) — the training loss path dispatches to it on aligned
+shapes; this module's ``nn_distance`` is always the pure-XLA form.
 """
 
 from __future__ import annotations

@@ -69,8 +69,15 @@ int load_ply_xyz(const char* path, std::vector<float>* points, int64_t* count) {
   bool binary_le = false;
   int64_t vertex_count = -1;
   bool in_vertex = false;
+  bool element_before_vertex = false;
   int stride = 0, off_x = -1, off_y = -1, off_z = -1;
-  char type_x = 0;
+  char type_x = 0, type_y = 0, type_z = 0;
+
+  auto coord_type = [](const std::string& t) -> char {
+    if (t == "float" || t == "float32") return 'f';
+    if (t == "double" || t == "float64") return 'd';
+    return 0;  // integer coordinates: not supported natively (numpy fallback)
+  };
 
   while (read_line()) {
     if (!line.empty() && line.back() == '\r') line.pop_back();
@@ -87,7 +94,7 @@ int load_ply_xyz(const char* path, std::vector<float>* points, int64_t* count) {
       next_token(line, pos, &cnt);
       in_vertex = (name == "vertex");
       if (in_vertex) vertex_count = strtoll(cnt.c_str(), nullptr, 10);
-      else if (vertex_count >= 0) in_vertex = false;  // past vertex element
+      else if (vertex_count < 0) element_before_vertex = true;
     } else if (tok == "property" && in_vertex) {
       std::string type, name;
       pos = next_token(line, pos, &type);
@@ -95,13 +102,17 @@ int load_ply_xyz(const char* path, std::vector<float>* points, int64_t* count) {
       next_token(line, pos, &name);
       int size = prop_size(type);
       if (size < 0) { fclose(f); return -3; }
-      if (name == "x") { off_x = stride; type_x = type == "float" ? 'f' : 'd'; }
-      if (name == "y") off_y = stride;
-      if (name == "z") off_z = stride;
+      if (name == "x") { off_x = stride; type_x = coord_type(type); }
+      if (name == "y") { off_y = stride; type_y = coord_type(type); }
+      if (name == "z") { off_z = stride; type_z = coord_type(type); }
       stride += size;
     }
   }
-  if (!binary_le || vertex_count < 0 || off_x < 0 || off_y < 0 || off_z < 0) {
+  // Strict subset: anything unusual (element before vertex, non-float
+  // coordinates, mixed coordinate types) falls back to the numpy parser
+  // rather than misreading the payload.
+  if (!binary_le || vertex_count < 0 || off_x < 0 || off_y < 0 || off_z < 0 ||
+      element_before_vertex || type_x == 0 || type_x != type_y || type_x != type_z) {
     fclose(f);
     return -4;
   }

@@ -58,17 +58,12 @@ def test_3depn_train_split(tmp_path):
 
 
 def test_3depn_test_split_deterministic(tmp_path):
-    import random
-
     make_3depn_tree(tmp_path)
     ds1 = ShapeNet3DEPNDataset(str(tmp_path), split="test", classes=[CAT])
     ds2 = ShapeNet3DEPNDataset(str(tmp_path), split="test", classes=[CAT])
     assert len(ds1) == 1  # only model 0 is in the test split
-    # the raw-scan choice comes from the instance's Random(1234) stream; the
-    # resampling uses the global RNG (as in the reference), so pin it here
-    random.seed(7)
+    # scan choice and resampling are fully deterministic per index now
     raw1, _, real1, name1 = ds1[0]
-    random.seed(7)
     raw2, _, real2, name2 = ds2[0]
     assert raw1.shape == (1024, 3) and real1.shape == (2048, 3)
     assert name1 == name2 == "m00"
