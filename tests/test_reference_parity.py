@@ -20,7 +20,9 @@ import torch
 REF = "/root/reference"
 pytestmark = pytest.mark.skipif(not os.path.isdir(REF), reason="reference not mounted")
 if os.path.isdir(REF) and REF not in sys.path:
-    sys.path.insert(0, REF)
+    # append (not prepend): the reference also ships top-level packages like
+    # `util_scripts` that must not shadow ours for the other test modules
+    sys.path.append(REF)
 
 from hyperpocket_tpu.models import (  # noqa: E402
     FullModel,
