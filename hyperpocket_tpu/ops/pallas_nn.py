@@ -73,6 +73,93 @@ def _nn_one_direction(q: jax.Array, k: jax.Array, *, tile_n: int = 512, interpre
     return dist[:, 0, :], idx[:, 0, :]
 
 
+def _nn_fused_kernel(q_ref, k_ref, dist1_ref, idx1_ref, dist2_ref, idx2_ref,
+                     key_min, key_idx, *, tile_n: int):
+    """Both NN directions in one pass over the distance tiles.
+
+    NOT the default: measured SLOWER than two single-direction launches
+    (6.2 ms vs 3.7 ms at B=64 N=2048 on v5e) — the per-key lane-direction
+    min/argmin and the (M, 1) running-minimum updates under-utilise the VPU
+    (1 of 128 lanes), outweighing the saved distance-tile recompute. Kept
+    as a correct, tested variant for future layout work.
+
+    q_ref (1, 3, TN) query slab, k_ref (1, M, 3) full keys. Per tile j the
+    (M, TN) distances yield the query minima directly (sublane reduce) and
+    update a running key-minimum scratch (lane reduce, (M, 1) orientation —
+    matching the (B, M, 1) output block, so no relayout anywhere).
+    """
+    m = k_ref.shape[1]
+    j = pl.program_id(1)
+    nt = pl.num_programs(1)
+    keys = k_ref[0]  # (M, 3)
+    d = jnp.zeros((m, tile_n), jnp.float32)
+    for c in range(3):
+        diff = keys[:, c : c + 1] - q_ref[0, c : c + 1, :]
+        d += diff * diff
+    # direction 1: per-query minima for this tile
+    dist1_ref[0, 0, :] = jnp.min(d, axis=0)
+    idx1_ref[0, 0, :] = jnp.argmin(d, axis=0).astype(jnp.int32)
+    # direction 2: running per-key minima across query tiles
+    tile_min = jnp.min(d, axis=1, keepdims=True)  # (M, 1)
+    tile_arg = jnp.argmin(d, axis=1).astype(jnp.int32)[:, None] + j * tile_n
+
+    @pl.when(j == 0)
+    def _():
+        key_min[...] = tile_min
+        key_idx[...] = tile_arg
+
+    @pl.when(j > 0)
+    def _():
+        better = tile_min < key_min[...]
+        key_min[...] = jnp.where(better, tile_min, key_min[...])
+        key_idx[...] = jnp.where(better, tile_arg, key_idx[...])
+
+    @pl.when(j == nt - 1)
+    def _():
+        dist2_ref[0, :, :] = key_min[...]
+        idx2_ref[0, :, :] = key_idx[...]
+
+
+@functools.partial(jax.jit, static_argnames=("tile_n", "interpret"))
+def _nn_fused(q: jax.Array, k: jax.Array, *, tile_n: int = 512, interpret: bool = False):
+    """(dist1 (B,N), idx1, dist2 (B,M), idx2) in one kernel launch."""
+    b, n, _ = q.shape
+    m = k.shape[1]
+    tile_n = min(tile_n, n)
+    while n % tile_n:
+        tile_n //= 2
+    if tile_n < 128 and tile_n != n:
+        raise ValueError(f"N={n} must be a multiple of 128 for the pallas kernel")
+    qt = jnp.transpose(q, (0, 2, 1))
+    kernel = functools.partial(_nn_fused_kernel, tile_n=tile_n)
+    dist1, idx1, dist2, idx2 = pl.pallas_call(
+        kernel,
+        grid=(b, n // tile_n),
+        in_specs=[
+            pl.BlockSpec((1, 3, tile_n), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m, 3), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, tile_n), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tile_n), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m, 1), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m, 1), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, 1, n), jnp.float32),
+            jax.ShapeDtypeStruct((b, 1, n), jnp.int32),
+            jax.ShapeDtypeStruct((b, m, 1), jnp.float32),
+            jax.ShapeDtypeStruct((b, m, 1), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((m, 1), jnp.float32),
+            pltpu.VMEM((m, 1), jnp.int32),
+        ],
+        interpret=interpret,
+    )(qt, k)
+    return dist1[:, 0, :], idx1[:, 0, :], dist2[:, :, 0], idx2[:, :, 0]
+
+
 def _use_interpret() -> bool:
     return jax.default_backend() != "tpu"
 

@@ -59,3 +59,15 @@ def test_auto_dispatch_aligned(clouds):
     x, y = clouds
     assert pallas_shapes_ok(x.shape[1], y.shape[1])
     assert float(chamfer_loss_auto(x, y)) == pytest.approx(float(chamfer_loss(x, y)), rel=1e-5)
+
+
+def test_fused_both_directions_matches(clouds):
+    from hyperpocket_tpu.ops.pallas_nn import _nn_fused
+
+    x, y = clouds
+    d1f, i1f, d2f, i2f = _nn_fused(x, y, interpret=True)
+    d1, i1, d2, i2 = nn_distance(x, y)
+    np.testing.assert_allclose(np.asarray(d1f), np.asarray(d1), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(d2f), np.asarray(d2), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(i1f), np.asarray(i1))
+    np.testing.assert_array_equal(np.asarray(i2f), np.asarray(i2))
