@@ -179,8 +179,7 @@ def _match_cost_fwd(x, y):
     return _forward_dispatch(x, y), (x, y)
 
 
-def _match_cost_bwd(res, g):
-    x, y = res
+def _match_cost_bwd_chunk(x, y):
     match = approx_match(x, y)
     d2 = jnp.maximum(batch_pairwise_sqdist(x, y), 1e-20)
     mt = match * lax.rsqrt(d2)  # (B, N, M)
@@ -189,6 +188,22 @@ def _match_cost_bwd(res, g):
     # grad_x[k] = sum_l mt (x_k - y_l);  grad_y[l] = sum_k mt (y_l - x_k)
     gx = x * row[..., None] - jnp.einsum("bnm,bmd->bnd", mt, y)
     gy = y * col[..., None] - jnp.einsum("bnm,bnd->bmd", mt, x)
+    return gx, gy
+
+
+def _match_cost_bwd(res, g):
+    x, y = res
+    # recompute the match in batch chunks: at N=M=2048 each (b, N, M) match
+    # slice is 16 MB, so a B=64 backward would otherwise hold >1 GB live
+    b = x.shape[0]
+    chunk = max(1, min(b, 16))
+    gxs, gys = [], []
+    for start in range(0, b, chunk):
+        gx, gy = _match_cost_bwd_chunk(x[start : start + chunk], y[start : start + chunk])
+        gxs.append(gx)
+        gys.append(gy)
+    gx = jnp.concatenate(gxs) if len(gxs) > 1 else gxs[0]
+    gy = jnp.concatenate(gys) if len(gys) > 1 else gys[0]
     g = g[:, None, None]
     return gx * g, gy * g
 

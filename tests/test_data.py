@@ -247,3 +247,25 @@ def test_device_slicer_matches_host_semantics():
     # different keys -> different slicings
     e2, _ = fn(pts, jax.random.key(1))
     assert not np.array_equal(existing, np.asarray(e2))
+
+
+def test_gen_test_set_path(tmp_path):
+    """is_gen test split reads test_gen/{right,left,gt} with resampling."""
+    rng = np.random.default_rng(11)
+    make_synthetic_shapenet(tmp_path, n_models=6)
+    for side in ("left", "right", "gt"):
+        os.makedirs(join(tmp_path, "test_gen", side, CAT), exist_ok=True)
+    name = "model005.ply"  # the test-split model
+    gt = rng.standard_normal((2048, 3)).astype(np.float32)
+    order = gt[:, 1].argsort()
+    save_ply(join(tmp_path, "test_gen", "left", CAT, name), gt[order[:1024]])
+    save_ply(join(tmp_path, "test_gen", "right", CAT, name), gt[order[1024:]])
+    save_ply(join(tmp_path, "test_gen", "gt", CAT, name), gt)
+
+    ds = MissingShapeNetDataset(str(tmp_path), split="test", num_samples=4, is_gen=True)
+    assert len(ds) == 1  # is_gen forces num_samples=1
+    existing, missing, out_gt, label = ds[0]
+    assert existing.shape == (1024, 3) and missing.shape == (1024, 3)
+    assert out_gt.shape == (2048, 3)
+    # existing comes from the right (high-y) half
+    assert existing[:, 1].mean() > missing[:, 1].mean()
