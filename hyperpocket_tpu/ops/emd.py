@@ -170,7 +170,9 @@ def match_cost(x: jax.Array, y: jax.Array) -> jax.Array:
     backward recomputes the match and applies the CUDA gradient formulas
     (approxmatch.cu:260-322) — pairing each distance with its weight before
     reduction, which avoids the cancellation a factorised accumulation would
-    suffer at near-zero distances.
+    suffer at near-zero distances. On TPU the backward is the fused Pallas
+    kernel (pallas_emd.match_cost_pallas_bwd, nothing NM-sized in HBM);
+    elsewhere a lax.map over 16-sample chunks bounds the live match buffers.
     """
     return _forward_dispatch(x, y)
 
@@ -191,12 +193,18 @@ def _match_cost_bwd_chunk(x, y):
     return gx, gy
 
 
-def _match_cost_bwd(res, g):
-    x, y = res
-    # recompute the match in batch chunks: at N=M=2048 each (b, N, M) match
-    # slice is 16 MB, so a B=64 backward would otherwise hold >1 GB live
+def _match_cost_bwd_xla(x, y):
+    """Chunked match-recompute backward: at N=M=2048 each (b, N, M) match
+    slice is 16 MB, so a B=64 backward would otherwise hold >1 GB live.
+    ``lax.map`` (not an unrolled Python loop) guarantees the chunks run
+    sequentially, so exactly one chunk's buffers are live at a time."""
     b = x.shape[0]
     chunk = max(1, min(b, 16))
+    if b > chunk and b % chunk == 0:
+        xs = x.reshape(b // chunk, chunk, *x.shape[1:])
+        ys = y.reshape(b // chunk, chunk, *y.shape[1:])
+        gx, gy = lax.map(lambda xy: _match_cost_bwd_chunk(*xy), (xs, ys))
+        return gx.reshape(x.shape), gy.reshape(y.shape)
     gxs, gys = [], []
     for start in range(0, b, chunk):
         gx, gy = _match_cost_bwd_chunk(x[start : start + chunk], y[start : start + chunk])
@@ -204,6 +212,26 @@ def _match_cost_bwd(res, g):
         gys.append(gy)
     gx = jnp.concatenate(gxs) if len(gxs) > 1 else gxs[0]
     gy = jnp.concatenate(gys) if len(gys) > 1 else gys[0]
+    return gx, gy
+
+
+def _match_cost_bwd(res, g):
+    x, y = res
+    impl = _emd_impl()
+    use_pallas = False
+    if impl != "xla":
+        from hyperpocket_tpu.ops import pallas_emd
+
+        use_pallas = impl == "pallas" or (
+            jax.default_backend() == "tpu"
+            and pallas_emd.emd_shapes_ok(x.shape[1], y.shape[1])
+        )
+    if use_pallas:
+        gx, gy = pallas_emd.match_cost_pallas_bwd(
+            x, y, interpret=jax.default_backend() != "tpu"
+        )
+    else:
+        gx, gy = _match_cost_bwd_xla(x, y)
     g = g[:, None, None]
     return gx * g, gy * g
 

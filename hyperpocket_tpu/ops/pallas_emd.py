@@ -27,9 +27,11 @@ Orientation plan (everything reduces along the natural axis, no relayouts):
 * Phase B (column feasibility) walks (TILE_M, N) tiles and reduces over
   lanes -> (TILE_M, 1).
 
-Gradients: ``match_cost`` in ops/emd.py wraps this forward in the same
-custom VJP (backward recomputes the match via the XLA path); this module
-only provides the raw forward.
+Gradients: ``match_cost`` in ops/emd.py wraps this forward in a custom VJP
+whose TPU backward is ``match_cost_pallas_bwd`` below — the same 9-round
+replay fused with the four gradient reductions of matchcostgrad{1,2}
+(approxmatch.cu:260-322), so neither direction ever holds an (N, M) buffer
+in HBM.
 """
 
 from __future__ import annotations
@@ -159,3 +161,153 @@ def match_cost_pallas_fwd(x: jax.Array, y: jax.Array, *, tile_n: int = 256,
 
 def emd_shapes_ok(n: int, m: int) -> bool:
     return n % 128 == 0 and m % 128 == 0
+
+
+# ---------------------------------------------------------------------------
+# Fused backward: recompute the 9-round match and accumulate gradients
+# without ever materialising the (N, M) match matrix (the TPU equivalent of
+# matchcostgrad{1,2}kernel, approxmatch.cu:260-322).
+# ---------------------------------------------------------------------------
+
+
+def _emd_bwd_kernel(x_ref, y_ref, gx_ref, gy_ref, remain_l, ratio_l, remain_r,
+                    ratio_r, row_acc, rxy_acc, col_acc, cyx_acc, *, n: int,
+                    m: int, tile_n: int, tile_m: int, multi_l: float,
+                    multi_r: float):
+    """x_ref (1, 3, N), y_ref (1, M, 3) -> gx_ref (1, 3, N), gy_ref (1, M, 3).
+
+    Phases A/B replay the forward rounds exactly; phase C, instead of the
+    cost, accumulates the four linear reductions of ``wd = w / dist`` that
+    the CUDA gradients factor into:
+
+      gx[k] = x[k] * sum_l wd[k,l] - sum_l wd[k,l] y[l]   (matchcostgrad1)
+      gy[l] = y[l] * sum_k wd[k,l] - sum_k wd[k,l] x[k]   (matchcostgrad2)
+
+    ``wd`` is formed per (M, TILE_N) tile — weight paired with its own
+    distance before any reduction, mirroring ops/emd.py's backward — so the
+    carried state stays O(N + M) and nothing NM-sized touches HBM.
+    """
+    nt = n // tile_n
+
+    def d_tile_mn(j):
+        d = jnp.zeros((m, tile_n), jnp.float32)
+        for c in range(3):
+            diff = y_ref[0, :, c : c + 1] - x_ref[0, c : c + 1, pl.ds(j * tile_n, tile_n)]
+            d += diff * diff
+        return d
+
+    def d_tile_mn_t(i):
+        d = jnp.zeros((tile_m, n), jnp.float32)
+        for c in range(3):
+            diff = y_ref[0, pl.ds(i * tile_m, tile_m), c : c + 1] - x_ref[0, c : c + 1, :]
+            d += diff * diff
+        return d
+
+    remain_l[...] = jnp.full((1, n), multi_l, jnp.float32)
+    remain_r[...] = jnp.full((m, 1), multi_r, jnp.float32)
+    row_acc[...] = jnp.zeros((1, n), jnp.float32)
+    rxy_acc[...] = jnp.zeros((3, n), jnp.float32)
+    col_acc[...] = jnp.zeros((m, 1), jnp.float32)
+    cyx_acc[...] = jnp.zeros((m, 8), jnp.float32)
+
+    for level in _LEVELS:  # 9 static rounds (approxmatch.cu:55-60)
+        def phase_a(j, _):
+            kern = jnp.exp(level * d_tile_mn(j))
+            suml = jnp.sum(kern * remain_r[...], axis=0, keepdims=True) + 1e-9
+            ratio_l[0, pl.ds(j * tile_n, tile_n)] = (
+                remain_l[0, pl.ds(j * tile_n, tile_n)] / suml[0]
+            )
+            return 0
+
+        lax.fori_loop(0, nt, phase_a, 0)
+
+        def phase_b(i, _):
+            kern = jnp.exp(level * d_tile_mn_t(i))
+            sumr = jnp.sum(kern * ratio_l[...], axis=1, keepdims=True)
+            rr = remain_r[pl.ds(i * tile_m, tile_m), :]
+            sumr = sumr * rr
+            consumption = jnp.minimum(rr / (sumr + 1e-9), 1.0)
+            ratio_r[pl.ds(i * tile_m, tile_m), :] = consumption * rr
+            remain_r[pl.ds(i * tile_m, tile_m), :] = jnp.maximum(0.0, rr - sumr)
+            return 0
+
+        lax.fori_loop(0, m // tile_m, phase_b, 0)
+
+        def phase_c(j, _):
+            sl = pl.ds(j * tile_n, tile_n)
+            d = d_tile_mn(j)
+            w_col = jnp.exp(level * d) * ratio_r[...]  # (M, TILE_N), sans ratio_l
+            rl = ratio_l[0:1, sl]  # (1, TILE_N)
+            w_sum = jnp.sum(w_col, axis=0, keepdims=True) * rl
+            # match-over-distance, paired per element before any reduction
+            wd = w_col * rl * lax.rsqrt(jnp.maximum(d, 1e-20))  # (M, TILE_N)
+            row_acc[0, sl] += jnp.sum(wd, axis=0)
+            for c in range(3):
+                rxy_acc[c, sl] += jnp.sum(wd * y_ref[0, :, c : c + 1], axis=0)
+            col_acc[...] += jnp.sum(wd, axis=1, keepdims=True)
+            for c in range(3):
+                cyx_acc[:, c : c + 1] += jnp.sum(
+                    wd * x_ref[0, c : c + 1, sl], axis=1, keepdims=True
+                )
+            remain_l[0, sl] = jnp.maximum(0.0, remain_l[0, sl] - w_sum[0])
+            return 0
+
+        lax.fori_loop(0, nt, phase_c, 0)
+
+    for c in range(3):
+        gx_ref[0, c, :] = x_ref[0, c, :] * row_acc[0, :] - rxy_acc[c, :]
+    gy_ref[0, :, :] = y_ref[0, :, :] * col_acc[...] - cyx_acc[:, 0:3]
+
+
+@functools.partial(jax.jit, static_argnames=("tile_n", "tile_m", "interpret"))
+def match_cost_pallas_bwd(x: jax.Array, y: jax.Array, *, tile_n: int = 256,
+                          tile_m: int = 256, interpret: bool = False):
+    """Gradients of match_cost wrt x (B, N, 3) and y (B, M, 3).
+
+    Returns ``(gx, gy)`` for a unit upstream cotangent; callers scale by g.
+    """
+    b, n, _ = x.shape
+    m = y.shape[1]
+    tile_n = min(tile_n, n)
+    tile_m = min(tile_m, m)
+    while n % tile_n:
+        tile_n //= 2
+    while m % tile_m:
+        tile_m //= 2
+    if (tile_n < 128 and tile_n != n) or m % 8:
+        raise ValueError(f"unsupported EMD shapes N={n} M={m} for the pallas kernel")
+    multi_l, multi_r = _match_multipliers(n, m)
+    xt = jnp.transpose(x, (0, 2, 1))  # (B, 3, N)
+
+    kernel = functools.partial(
+        _emd_bwd_kernel, n=n, m=m, tile_n=tile_n, tile_m=tile_m,
+        multi_l=multi_l, multi_r=multi_r,
+    )
+    gxt, gy = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, 3, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m, 3), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 3, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m, 3), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, 3, n), jnp.float32),
+            jax.ShapeDtypeStruct((b, m, 3), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((1, n), jnp.float32),  # remain_l
+            pltpu.VMEM((1, n), jnp.float32),  # ratio_l
+            pltpu.VMEM((m, 1), jnp.float32),  # remain_r
+            pltpu.VMEM((m, 1), jnp.float32),  # ratio_r
+            pltpu.VMEM((1, n), jnp.float32),  # row_acc: sum_l wd
+            pltpu.VMEM((3, n), jnp.float32),  # rxy_acc: sum_l wd*y
+            pltpu.VMEM((m, 1), jnp.float32),  # col_acc: sum_k wd
+            pltpu.VMEM((m, 8), jnp.float32),  # cyx_acc: sum_k wd*x (3 cols used)
+        ],
+        interpret=interpret,
+    )(xt, y)
+    return jnp.transpose(gxt, (0, 2, 1)), gy
