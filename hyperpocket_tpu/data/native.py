@@ -76,8 +76,13 @@ def load_ply_batch(paths: list[str], points_per_cloud: int, n_threads: int = 0) 
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n_threads,
     )
     if rc != 0:
-        bad = paths[rc - 1]
-        raise IOError(f"native batch load failed at {bad} (wrong size or unreadable)")
+        # rc > 0 is the 1-based index of the failing file; anything else is
+        # an unexpected error code, so don't fabricate a filename from it
+        if 0 < rc <= len(paths):
+            raise IOError(
+                f"native batch load failed at {paths[rc - 1]} (wrong size or unreadable)"
+            )
+        raise IOError(f"native batch load failed (rc={rc})")
     return out
 
 

@@ -50,6 +50,11 @@ class ExperimentContext:
         # the per-object loops (slow over the device tunnel)
         self._counter = int(self.seed) * 1_000_003
         self._key = jax.random.key(self.seed)
+        # seeded host RNG for experiment-level sampling (object choice,
+        # re-slicing planes): the reference seeds global RNGs before the
+        # mode switch (core/main.py:28 via core/setup.py:12-19); threading an
+        # explicit Generator makes artifacts reproducible run-to-run
+        self.np_rng = np.random.default_rng(self.seed)
 
         @partial(jax.jit, static_argnames=("num_points",))
         def _complete(params, existing, noise, seed, epoch, num_points):
@@ -218,7 +223,8 @@ def compute_mmd_tmd_uhd(ctx: ExperimentContext, datasets_dict, results_dir: str,
 
 
 def merge_different_categories(ctx: ExperimentContext, datasets_dict, results_dir: str, epoch,
-                               amount=10, first_cat="car", second_cat="airplane"):
+                               amount=10, first_cat="car", second_cat="airplane",
+                               split_points=1024):
     """Reference core/experiments.py:131-191: cross-category pocket transplants.
 
     Two reference bugs are deliberately fixed here (see PARITY.md):
@@ -236,12 +242,14 @@ def merge_different_categories(ctx: ExperimentContext, datasets_dict, results_di
             f"with current dataset config the max amount value is "
             f"{min(len(first_ds), len(second_ds))}"
         )
-    first_ids = np.random.choice(len(first_ds), amount, replace=False)
-    second_ids = np.random.choice(len(second_ds), amount, replace=False)
+    first_ids = ctx.np_rng.choice(len(first_ds), amount, replace=False)
+    second_ids = ctx.np_rng.choice(len(second_ds), amount, replace=False)
 
     def halves(gt):
+        # x-sorted split at split_points (the reference hardcodes 1024 =
+        # half of its 2048-pt gt, experiments.py:149-153)
         order = np.argsort(gt.T[0])
-        return gt[order[1024:]], gt[order[:1024]]  # (existing, missing) by x-coord
+        return gt[order[split_points:]], gt[order[:split_points]]  # (existing, missing)
 
     for i in range(amount):
         f_gt = np.asarray(first_ds[first_ids[i]][2], dtype=np.float32)
@@ -282,12 +290,12 @@ def same_model_different_slices(ctx: ExperimentContext, datasets_dict, results_d
         np.save(join(out_dir, f"{cat_name}_{i}_{j}_{tag}_rec"), rec.T)
 
     for cat_name, ds in datasets_dict.items():
-        ids = np.random.choice(len(ds), min(amount, len(ds)), replace=False)
+        ids = ctx.np_rng.choice(len(ds), min(amount, len(ds)), replace=False)
         for i, idx in enumerate(ids):
             gt = np.asarray(ds[idx][2], dtype=np.float32)
             np.save(join(out_dir, f"{cat_name}_{i}_gt"), gt)
             for j in range(slices_number):
-                first, second = slice_point_cloud(gt, slice_points)
+                first, second = slice_point_cloud(gt, slice_points, rng=ctx.np_rng)
                 process_half(first, cat_name, "f", i, j)
                 process_half(second, cat_name, "s", i, j)
 
@@ -332,7 +340,7 @@ def make_tsne_reduction(ctx: ExperimentContext, datasets_dict, results_dir: str,
     cats = [cat_name] if cat_name else list(datasets_dict)
     for cat in cats:
         ds = datasets_dict[cat]
-        ids = np.random.choice(len(ds), min(amount, len(ds)), replace=False)
+        ids = ctx.np_rng.choice(len(ds), min(amount, len(ds)), replace=False)
         latents, tnws = [], []
         for i, idx in enumerate(ids):
             gt = np.asarray(ds[idx][2], dtype=np.float32)
@@ -384,6 +392,11 @@ def run_experiments(config: dict, result_dir: str, datasets=None) -> None:
     from hyperpocket_tpu.data import get_datasets
     from hyperpocket_tpu.train import checkpoint as ckpt
     from hyperpocket_tpu.train.config import get_results_dir_path
+    from hyperpocket_tpu.utils.logging_setup import seed_setup
+
+    # seed python/numpy global RNGs before any experiment runs, mirroring the
+    # reference's seed_setup before the mode switch (core/main.py:28)
+    seed_setup(config["setup"]["seed"])
 
     model = FullModel.from_config(config["full_model"])
     params = model.init(jax.random.key(config["setup"]["seed"]))

@@ -106,9 +106,15 @@ def make_optimizer(opt_config: dict, trainable_mask=None) -> optax.GradientTrans
 
 
 def set_learning_rate(opt_state, lr: float):
-    """Update the injected LR leaf in-place (host-side, between epochs)."""
-    opt_state.hyperparams["learning_rate"] = lr
-    return opt_state
+    """Return a new opt state with the injected LR leaf replaced.
+
+    Purely functional (``_replace`` on the inject_hyperparams state + a fresh
+    hyperparams dict) — callers must reassign the result. In-place dict
+    mutation would silently break if the state were donated or frozen.
+    """
+    return opt_state._replace(
+        hyperparams={**opt_state.hyperparams, "learning_rate": lr}
+    )
 
 
 def make_lr_schedule(sched_config: dict | None, base_lr: float) -> Callable[[int], float]:

@@ -229,7 +229,7 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def train_epoch(self, epoch: int) -> tuple[EpochStats, tuple]:
-        set_learning_rate(self.opt_state, self.lr_schedule(epoch))
+        self.opt_state = set_learning_rate(self.opt_state, self.lr_schedule(epoch))
         # Device-side loss accumulation: per-batch float() fetches would pay
         # a host round-trip each step (seconds under tunnel latency); instead
         # stack the scalars on device and fetch ONCE per epoch.

@@ -132,3 +132,50 @@ def test_encode_and_tsne_reduction(trained_setup, tmp_path):
     assert "airplane_latent_tsne.npy" in out and "airplane_tnw_tsne.npy" in out
     emb = np.load(join(tmp_path, "temp_exp", "airplane_latent_tsne.npy"))
     assert emb.shape == (2 * min(6, len(test_dict["airplane"])), 2)
+
+
+def _hash_dir(path):
+    import hashlib
+
+    h = hashlib.sha256()
+    for name in sorted(os.listdir(path)):
+        h.update(name.encode())
+        with open(join(path, name), "rb") as fh:
+            h.update(fh.read())
+    return h.hexdigest()
+
+
+def test_same_model_different_slices_reproducible(trained_setup, tmp_path):
+    """Two runs with the same ctx seed must produce identical artifacts
+    (the reference seeds RNGs before the experiments mode switch,
+    core/main.py:28; round-1 used unseeded global np.random here)."""
+    config, trainer = trained_setup
+    from hyperpocket_tpu.eval.experiments import ExperimentContext, same_model_different_slices
+
+    test_dict = _ctx_and_datasets(config)
+    digests = []
+    for run in ("a", "b"):
+        ctx = ExperimentContext(trainer.model, trainer.params, epoch=1, seed=123)
+        out = tmp_path / run
+        os.makedirs(out)
+        same_model_different_slices(ctx, test_dict, str(out), 1, amount=2,
+                                    slices_number=2, slice_points=32)
+        digests.append(_hash_dir(join(out, "same_model_different_slices")))
+    assert digests[0] == digests[1]
+
+
+def test_merge_different_categories_reproducible(trained_setup, tmp_path):
+    config, trainer = trained_setup
+    from hyperpocket_tpu.eval.experiments import ExperimentContext, merge_different_categories
+
+    test_dict = _ctx_and_datasets(config)
+    digests = []
+    for run in ("a", "b"):
+        ctx = ExperimentContext(trainer.model, trainer.params, epoch=1, seed=321)
+        out = tmp_path / run
+        os.makedirs(out)
+        merge_different_categories(ctx, {"car": test_dict["airplane"],
+                                         "airplane": test_dict["airplane"]},
+                                   str(out), 1, amount=1, split_points=32)
+        digests.append(_hash_dir(join(out, "merge_different_categories")))
+    assert digests[0] == digests[1]

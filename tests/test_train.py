@@ -64,7 +64,7 @@ def test_set_learning_rate_changes_updates():
     state = tx.init(params)
     g = jnp.ones((3,))
     upd1, state = tx.update(g, state, params)
-    set_learning_rate(state, 0.0)
+    state = set_learning_rate(state, 0.0)
     upd2, state = tx.update(g, state, params)
     assert float(jnp.abs(upd1).max()) > 0
     assert float(jnp.abs(upd2).max()) == 0
