@@ -30,7 +30,7 @@ import numpy as np
 from hyperpocket_tpu.data import get_datasets
 from hyperpocket_tpu.data.loader import BatchLoader
 from hyperpocket_tpu.models import FullModel
-from hyperpocket_tpu.parallel.mesh import DATA_AXIS, make_mesh, replicate, shard_batch
+from hyperpocket_tpu.parallel.mesh import DATA_AXIS, make_mesh, param_shardings, shard_batch
 from hyperpocket_tpu.train import checkpoint as ckpt
 from hyperpocket_tpu.train.config import get_results_dir_path
 from hyperpocket_tpu.train.losses import kld_loss, reconstruction_loss
@@ -159,15 +159,30 @@ class Trainer:
         }
         self.profile_cfg = tr.get("profile", {})
 
-        # Mesh: data-parallel over all devices when the batch divides evenly.
+        # Mesh: (data, model) from config training.parallel — data-parallel
+        # batch sharding plus optional Megatron-style tensor parallelism on
+        # the hypernetwork's widest matmul pair (parallel/mesh.py:58-89).
+        # Defaults: all devices on the data axis when the batch divides.
+        par_cfg = tr.get("parallel", {})
         n_dev = len(jax.devices())
+        n_model = int(par_cfg.get("model", 1))
+        if n_dev % n_model:
+            raise ValueError(f"parallel.model={n_model} does not divide {n_dev} devices")
+        n_data = int(par_cfg.get("data") or n_dev // n_model)
         if use_mesh is None:
-            use_mesh = n_dev > 1 and tcfg.get("batch_size", 8) % n_dev == 0
-        self.mesh = make_mesh(n_dev, 1) if use_mesh else None
+            use_mesh = n_data * n_model > 1 and tcfg.get("batch_size", 8) % n_data == 0
+        self.mesh = make_mesh(n_data, n_model) if use_mesh else None
         if self.mesh is not None:
-            self.params = replicate(self.mesh, self.params)
-            self.opt_state = replicate(self.mesh, self.opt_state)
-            self.log.info("data-parallel mesh over %d devices", n_dev)
+            self._param_shardings = param_shardings(self.mesh, self.params)
+            self.params = jax.tree_util.tree_map(
+                jax.device_put, self.params, self._param_shardings
+            )
+            # re-init under jit so each Adam moment inherits its param's
+            # sharding (zeros_like propagates the input sharding); a plain
+            # replicate would leave TP moments fully materialised per device
+            self.opt_state = jax.jit(self.tx.init)(self.params)
+            self._opt_shardings = jax.tree_util.tree_map(lambda x: x.sharding, self.opt_state)
+            self.log.info("mesh: data=%d model=%d", n_data, n_model)
 
         self.train_step = make_train_step(self.model, self.tx, self.loss_coef)
         self.val_step = make_val_step(self.model, self.loss_coef)
@@ -209,6 +224,14 @@ class Trainer:
         epoch, self.params, self.opt_state = ckpt.restore_model_state(
             self.weights_path, self.metrics_path, latest, "latest", self.params, self.opt_state
         )
+        if self.mesh is not None:
+            # load_tree returns unsharded device arrays; re-apply the mesh layout
+            self.params = jax.tree_util.tree_map(
+                jax.device_put, self.params, self._param_shardings
+            )
+            self.opt_state = jax.tree_util.tree_map(
+                jax.device_put, self.opt_state, self._opt_shardings
+            )
         self.train_losses, self.val_losses, self.best_epoch_loss = ckpt.restore_metrics(
             self.metrics_path, epoch
         )

@@ -122,3 +122,41 @@ def test_trainer_dp_end_to_end(tmp_path):
     assert trainer.mesh is not None
     train_losses, _ = trainer.run(plot_samples=False)
     assert np.isfinite(train_losses[0]).all()
+
+
+def test_trainer_dp_tp_loss_equivalence(tmp_path):
+    """Trainer losses match across single-device, pure-DP and DP x TP meshes.
+
+    Same seed -> same data order, same RNG keys; only the partitioning
+    differs, so per-epoch losses must agree to fp tolerance.
+    """
+    from hyperpocket_tpu.train.trainer import Trainer
+    from tests.test_data import make_synthetic_shapenet
+    from tests.test_train_integration import make_config
+
+    root = tmp_path / "data"
+    make_synthetic_shapenet(root, n_models=10, n_gt=64, n_part=32)
+    with open(root / "train.list", "w") as fh:
+        fh.write("\n".join(f"02691156/model{i:03d}" for i in range(8)))
+    with open(root / "val.list", "w") as fh:
+        fh.write("02691156/model008")
+
+    losses = {}
+    for tag, parallel, use_mesh in (
+        ("single", None, False),
+        ("dp", {"model": 1}, True),
+        ("dp_tp", {"model": 2}, True),
+    ):
+        config = make_config(root, tmp_path / f"results_{tag}", max_epoch=2, batch=8)
+        if parallel is not None:
+            config["training"]["parallel"] = parallel
+        trainer = Trainer(config, use_mesh=use_mesh)
+        if tag == "dp_tp":
+            assert trainer.mesh is not None and trainer.mesh.shape[MODEL_AXIS] == 2
+            heads_w = trainer.params["hyper_network"]["heads"]["w"]
+            assert heads_w.sharding.spec == P(MODEL_AXIS, None)
+        train_losses, _ = trainer.run(plot_samples=False)
+        losses[tag] = np.asarray(train_losses)
+
+    np.testing.assert_allclose(losses["dp"], losses["single"], rtol=2e-4)
+    np.testing.assert_allclose(losses["dp_tp"], losses["single"], rtol=2e-4)
