@@ -6,9 +6,11 @@ The TPU-native replacement for the reference CUDA kernel
 
 * one direction per launch (queries -> keys), called twice like the CUDA
   launcher (nndistance.cu:131-133);
-* grid (B, N/TILE_N): each step holds the full key cloud (M, 3) and a
-  (3, TILE_N) query slab in VMEM and materialises only an (M, TILE_N)
-  distance tile — the B x N x M matrix never exists in HBM;
+* grid (B, N/TILE_N, M/TILE_M): each step holds a (TILE_M, 3) key slab and a
+  (3, TILE_N) query slab in VMEM and materialises only a (TILE_M, TILE_N)
+  distance tile — the B x N x M matrix never exists in HBM; key tiles merge
+  through a lane-oriented running-min scratch (production M=2048 fits one
+  tile, so the merge is two vector selects);
 * the distance tile is built on the VPU as sum_c (k_c - q_c)^2 with
   broadcasting — no MXU pass is wasted padding a K=3 contraction to 128;
 * min/argmin reduce over the sublane axis, so results land lane-oriented
@@ -28,22 +30,55 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _nn_one_direction_kernel(q_ref, k_ref, dist_ref, idx_ref):
-    """q_ref (1, 3, TN), k_ref (1, M, 3) -> dist/idx (1, 1, TN)."""
-    m = k_ref.shape[1]
+def _nn_one_direction_kernel(q_ref, k_ref, dist_ref, idx_ref, run_min, run_idx,
+                             *, tile_m: int):
+    """q_ref (1, 3, TN), k_ref (1, TM, 3) -> dist/idx (1, 1, TN).
+
+    Grid (B, N/TN, M/TM), key-tile axis innermost: each step reduces one
+    (TM, TN) distance tile over sublanes and merges into the lane-oriented
+    running minimum scratch; the final key tile writes the output block.
+    With M/TM == 1 this degenerates to the original single-block kernel.
+    """
+    l = pl.program_id(2)
+    nl = pl.num_programs(2)
+    tm = k_ref.shape[1]
     tn = q_ref.shape[2]
-    keys = k_ref[0]  # (M, 3)
-    d = jnp.zeros((m, tn), jnp.float32)
+    keys = k_ref[0]  # (TM, 3)
+    d = jnp.zeros((tm, tn), jnp.float32)
     for c in range(3):
-        diff = keys[:, c : c + 1] - q_ref[0, c : c + 1, :]  # (M,1)-(1,TN) -> (M,TN)
+        diff = keys[:, c : c + 1] - q_ref[0, c : c + 1, :]  # (TM,1)-(1,TN) -> (TM,TN)
         d += diff * diff
-    dist_ref[0, 0, :] = jnp.min(d, axis=0)
-    idx_ref[0, 0, :] = jnp.argmin(d, axis=0).astype(jnp.int32)
+    tile_min = jnp.min(d, axis=0, keepdims=True)  # (1, TN) sublane reduce
+    tile_idx = jnp.argmin(d, axis=0).astype(jnp.int32)[None, :] + l * tile_m
+
+    @pl.when(l == 0)
+    def _():
+        run_min[...] = tile_min
+        run_idx[...] = tile_idx
+
+    @pl.when(l > 0)
+    def _():
+        better = tile_min < run_min[...]
+        run_min[...] = jnp.where(better, tile_min, run_min[...])
+        run_idx[...] = jnp.where(better, tile_idx, run_idx[...])
+
+    @pl.when(l == nl - 1)
+    def _():
+        dist_ref[0, 0, :] = run_min[0, :]
+        idx_ref[0, 0, :] = run_idx[0, :]
 
 
-@functools.partial(jax.jit, static_argnames=("tile_n", "interpret"))
-def _nn_one_direction(q: jax.Array, k: jax.Array, *, tile_n: int = 512, interpret: bool = False):
-    """q (B, N, 3), k (B, M, 3) -> (dist (B, N), idx (B, N))."""
+@functools.partial(jax.jit, static_argnames=("tile_n", "tile_m", "interpret"))
+def _nn_one_direction(q: jax.Array, k: jax.Array, *, tile_n: int = 512,
+                      tile_m: int = 2048, interpret: bool = False):
+    """q (B, N, 3), k (B, M, 3) -> (dist (B, N), idx (B, N)).
+
+    ``tile_m`` bounds the key slab held in VMEM: M=2048 production clouds fit
+    one block (zero scratch-merge overhead in the common case beyond two
+    vector selects), while larger clouds stream key tiles — the kernel API
+    tiles the point axis, which is also what a ring pass over ICI would shard
+    (SURVEY §5 long-context analogue).
+    """
     b, n, _ = q.shape
     m = k.shape[1]
     tile_n = min(tile_n, n)
@@ -51,22 +86,32 @@ def _nn_one_direction(q: jax.Array, k: jax.Array, *, tile_n: int = 512, interpre
         tile_n //= 2
     if tile_n < 128 and tile_n != n:
         raise ValueError(f"N={n} must be a multiple of 128 for the pallas kernel")
+    tile_m = min(tile_m, m)
+    while m % tile_m:
+        tile_m //= 2
+    if tile_m < 8 and tile_m != m:
+        raise ValueError(f"M={m} must be a multiple of 8 for the pallas kernel")
     qt = jnp.transpose(q, (0, 2, 1))  # (B, 3, N): queries lane-oriented
-    grid = (b, n // tile_n)
+    grid = (b, n // tile_n, m // tile_m)
+    kernel = functools.partial(_nn_one_direction_kernel, tile_m=tile_m)
     dist, idx = pl.pallas_call(
-        _nn_one_direction_kernel,
+        kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 3, tile_n), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, m, 3), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, tile_n), lambda i, j, l: (i, 0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_m, 3), lambda i, j, l: (i, l, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, tile_n), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, tile_n), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tile_n), lambda i, j, l: (i, 0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tile_n), lambda i, j, l: (i, 0, j), memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, 1, n), jnp.float32),
             jax.ShapeDtypeStruct((b, 1, n), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((1, tile_n), jnp.float32),  # running min
+            pltpu.VMEM((1, tile_n), jnp.int32),    # running argmin
         ],
         interpret=interpret,
     )(qt, k)

@@ -71,3 +71,32 @@ def test_fused_both_directions_matches(clouds):
     np.testing.assert_allclose(np.asarray(d2f), np.asarray(d2), atol=1e-5)
     np.testing.assert_array_equal(np.asarray(i1f), np.asarray(i1))
     np.testing.assert_array_equal(np.asarray(i2f), np.asarray(i2))
+
+
+def test_tiled_key_axis_matches(clouds):
+    """M streamed through VMEM in tiles == single-block result (argmin ties
+    resolve to the lowest index in both, since tiles scan in index order)."""
+    from hyperpocket_tpu.ops.pallas_nn import _nn_one_direction
+
+    x, y = clouds
+    d_full, i_full = _nn_one_direction(x, y, tile_m=y.shape[1], interpret=True)
+    d_tiled, i_tiled = _nn_one_direction(x, y, tile_m=32, interpret=True)
+    np.testing.assert_allclose(np.asarray(d_tiled), np.asarray(d_full), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(i_tiled), np.asarray(i_full))
+    # also vs the pure oracle
+    d1, i1, _, _ = nn_distance(x, y)
+    np.testing.assert_allclose(np.asarray(d_tiled), np.asarray(d1), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(i_tiled), np.asarray(i1))
+
+
+def test_tiled_key_axis_nonuniform_tile():
+    """tile_m not dividing M falls back to a smaller power-of-two split."""
+    from hyperpocket_tpu.ops.pallas_nn import _nn_one_direction
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray((rng.standard_normal((1, 128, 3)) * 0.3).astype(np.float32))
+    y = jnp.asarray((rng.standard_normal((1, 192, 3)) * 0.3).astype(np.float32))
+    d, i = _nn_one_direction(x, y, tile_m=128, interpret=True)  # 128 !| 192 -> 64
+    d1, i1, _, _ = nn_distance(x, y)
+    np.testing.assert_allclose(np.asarray(d), np.asarray(d1), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(i1))
