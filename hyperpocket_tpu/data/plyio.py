@@ -1,12 +1,15 @@
-"""Minimal, fast PLY point-cloud I/O.
+"""Fast general PLY point-cloud I/O.
 
 Replaces the reference's vendored python-plyfile library (utils/plyfile.py)
-for the only two operations the pipeline uses:
+for the two operations the pipeline uses:
 
-* ``load_ply(path) -> (N, 3) float32`` — reads the x/y/z vertex properties of
-  ascii or binary_little_endian PLY files (reference ``load_ply``,
-  utils/plyfile.py:919-941). Extra vertex properties are skipped; non-vertex
-  elements after the vertex block are ignored.
+* ``load_ply(path) -> (N, 3) float32`` — reads the x/y/z vertex properties
+  (reference ``load_ply``, utils/plyfile.py:919-941) from ascii,
+  binary_little_endian or binary_big_endian files, with elements in any
+  order and list properties anywhere (skipped) — the full capability
+  envelope of plyfile's reader, scoped to the (N, 3) output. Common layouts
+  (vertex first, scalar properties) hit a one-shot structured ``fromfile``;
+  exotic ones fall back to a row walker.
 * ``save_ply(path, points)`` — binary little-endian writer, identical file
   layout to the reference's ``quick_save_ply_file`` (utils/plyfile.py:944-962).
 
@@ -83,44 +86,131 @@ def load_ply(path: str | os.PathLike) -> np.ndarray:
     return _load_ply_numpy(path)
 
 
+def _tsize(t: str) -> int:
+    return int(np.dtype(_PLY_TO_NUMPY[t]).itemsize)
+
+
+def _check_vertex(path, elements):
+    vertex = next((e for e in elements if e[0] == "vertex"), None)
+    if vertex is None:
+        raise PlyParseError(f"{path}: no vertex element")
+    names = [n for n, _ in vertex[2]]
+    for axis in ("x", "y", "z"):
+        if axis not in names:
+            raise PlyParseError(f"{path}: vertex missing property {axis!r}")
+    return vertex
+
+
 def _load_ply_numpy(path: str | os.PathLike) -> np.ndarray:
+    """General PLY vertex reader: ascii / binary little- and big-endian,
+    elements in any order, list properties anywhere (skipped; on the vertex
+    element the scalar x/y/z are still extracted) — the capability envelope
+    of the reference's vendored plyfile (utils/plyfile.py:153-917), scoped
+    to producing the (N, 3) cloud the pipeline consumes."""
     with open(path, "rb") as f:
-        fmt, elements, offset = _parse_header(f)
-        vertex = next((e for e in elements if e[0] == "vertex"), None)
-        if vertex is None:
-            raise PlyParseError(f"{path}: no vertex element")
-        _, count, props = vertex
-        if any(n == "__list__" for n, _ in props):
-            raise PlyParseError(f"{path}: list properties on vertex unsupported")
-        names = [n for n, _ in props]
-        for axis in ("x", "y", "z"):
-            if axis not in names:
-                raise PlyParseError(f"{path}: vertex missing property {axis!r}")
-        # Skip any elements declared before vertex (unusual but legal).
-        before = elements[: [e[0] for e in elements].index("vertex")]
+        fmt, elements, _ = _parse_header(f)
+        vertex = _check_vertex(path, elements)
         if fmt == "ascii":
-            rows_to_skip = sum(e[1] for e in before)
-            data = np.loadtxt(
-                path,
-                skiprows=_count_header_lines(path) + rows_to_skip,
-                max_rows=count,
-                dtype=np.float64,
-                usecols=[names.index("x"), names.index("y"), names.index("z")],
-                ndmin=2,
-            )
-            return np.ascontiguousarray(data, dtype=np.float32)
-        if fmt != "binary_little_endian":
+            return _read_vertices_ascii(path, f, elements, vertex)
+        if fmt == "binary_little_endian":
+            endian = "<"
+        elif fmt == "binary_big_endian":
+            endian = ">"
+        else:
             raise PlyParseError(f"{path}: unsupported PLY format {fmt!r}")
-        for e in before:
-            raise PlyParseError(f"{path}: element {e[0]!r} before vertex unsupported in binary")
-        dtype = np.dtype([(n, "<" + _PLY_TO_NUMPY[t]) for n, t in props])
-        raw = np.fromfile(f, dtype=dtype, count=count, offset=0)
+        return _read_vertices_binary(path, f, elements, vertex, endian)
+
+
+def _read_vertices_binary(path, f, elements, vertex, endian) -> np.ndarray:
+    _, count, vprops = vertex
+    first_is_vertex = elements[0][0] == "vertex"
+    has_list = any(n == "__list__" for n, _ in vprops)
+    if first_is_vertex and not has_list:
+        # fast path: one structured fromfile straight out of the header
+        dtype = np.dtype([(n, endian + _PLY_TO_NUMPY[t]) for n, t in vprops])
+        raw = np.fromfile(f, dtype=dtype, count=count)
         if raw.shape[0] != count:
             raise PlyParseError(f"{path}: truncated vertex data")
         out = np.empty((count, 3), dtype=np.float32)
         for i, axis in enumerate(("x", "y", "z")):
             out[:, i] = raw[axis]
         return out
+
+    buf = f.read()
+    pos = 0
+    out = None
+    for name, n_rows, props in elements:
+        lists = [n for n, _ in props if n == "__list__"]
+        if not lists:
+            dtype = np.dtype([(n, endian + _PLY_TO_NUMPY[t]) for n, t in props])
+            end = pos + dtype.itemsize * n_rows
+            if end > len(buf):
+                raise PlyParseError(f"{path}: truncated element {name!r}")
+            if name == "vertex":
+                raw = np.frombuffer(buf, dtype=dtype, count=n_rows, offset=pos)
+                out = np.stack([raw["x"], raw["y"], raw["z"]], axis=1).astype(np.float32)
+            pos = end
+            continue
+        # variable-width rows: walk scalar-by-scalar, skipping list payloads
+        is_vertex = name == "vertex"
+        if is_vertex:
+            out = np.empty((n_rows, 3), dtype=np.float32)
+        for r in range(n_rows):
+            row: dict[str, float] = {}
+            for pname, ptype in props:
+                if pname == "__list__":
+                    ct, vt = ptype.split(":")
+                    (k,) = np.frombuffer(buf, endian + _PLY_TO_NUMPY[ct], count=1, offset=pos)
+                    pos += _tsize(ct) + int(k) * _tsize(vt)
+                else:
+                    if is_vertex and pname in ("x", "y", "z"):
+                        (row[pname],) = np.frombuffer(
+                            buf, endian + _PLY_TO_NUMPY[ptype], count=1, offset=pos
+                        )
+                    pos += _tsize(ptype)
+            if pos > len(buf):
+                raise PlyParseError(f"{path}: truncated element {name!r}")
+            if is_vertex:
+                out[r] = (row["x"], row["y"], row["z"])
+    return out
+
+
+def _read_vertices_ascii(path, f, elements, vertex) -> np.ndarray:
+    _, count, vprops = vertex
+    names = [n for n, _ in vprops]
+    before = elements[: [e[0] for e in elements].index("vertex")]
+    # ascii rows are one line each regardless of list properties, so
+    # skipping earlier elements is just a line count
+    rows_to_skip = sum(e[1] for e in before)
+    if "__list__" not in names:
+        data = np.loadtxt(
+            path,
+            skiprows=_count_header_lines(path) + rows_to_skip,
+            max_rows=count,
+            dtype=np.float64,
+            usecols=[names.index("x"), names.index("y"), names.index("z")],
+            ndmin=2,
+        )
+        return np.ascontiguousarray(data, dtype=np.float32)
+    # vertex rows interleave list payloads: walk tokens per line
+    for _ in range(rows_to_skip):
+        f.readline()
+    out = np.empty((count, 3), dtype=np.float32)
+    for r in range(count):
+        tokens = f.readline().split()
+        if not tokens:
+            raise PlyParseError(f"{path}: truncated vertex data")
+        i = 0
+        row: dict[str, float] = {}
+        for pname, _ptype in vprops:
+            if pname == "__list__":
+                i += 1 + int(tokens[i])
+            else:
+                if pname in ("x", "y", "z"):
+                    row[pname] = float(tokens[i])
+                i += 1
+        out[r] = (row["x"], row["y"], row["z"])
+    return out
 
 
 def _count_header_lines(path) -> int:

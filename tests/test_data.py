@@ -269,3 +269,78 @@ def test_gen_test_set_path(tmp_path):
     assert out_gt.shape == (2048, 3)
     # existing comes from the right (high-y) half
     assert existing[:, 1].mean() > missing[:, 1].mean()
+
+
+def test_ply_big_endian(tmp_path):
+    n = 5
+    pts = np.random.default_rng(4).standard_normal((n, 3)).astype(">f4")
+    p = tmp_path / "be.ply"
+    header = (
+        "ply\nformat binary_big_endian 1.0\n"
+        f"element vertex {n}\n"
+        "property float x\nproperty float y\nproperty float z\nend_header\n"
+    )
+    rec = np.empty(n, dtype=[("x", ">f4"), ("y", ">f4"), ("z", ">f4")])
+    rec["x"], rec["y"], rec["z"] = pts[:, 0], pts[:, 1], pts[:, 2]
+    with open(p, "wb") as fh:
+        fh.write(header.encode())
+        fh.write(rec.tobytes())
+    np.testing.assert_array_equal(load_ply(p), pts.astype("<f4"))
+
+
+def test_ply_binary_element_before_vertex(tmp_path):
+    """A list-carrying element declared before vertex is skipped correctly."""
+    n = 4
+    pts = np.random.default_rng(5).standard_normal((n, 3)).astype("<f4")
+    p = tmp_path / "face_first.ply"
+    header = (
+        "ply\nformat binary_little_endian 1.0\n"
+        "element face 2\nproperty list uchar int vertex_indices\n"
+        f"element vertex {n}\n"
+        "property float x\nproperty float y\nproperty float z\nend_header\n"
+    )
+    body = b""
+    for idxs in ([0, 1, 2], [1, 2, 3]):
+        body += np.uint8(len(idxs)).tobytes() + np.asarray(idxs, "<i4").tobytes()
+    body += pts.tobytes()
+    with open(p, "wb") as fh:
+        fh.write(header.encode())
+        fh.write(body)
+    np.testing.assert_array_equal(load_ply(p), pts)
+
+
+def test_ply_binary_vertex_list_property(tmp_path):
+    """List properties ON the vertex element (plyfile-general) are skipped."""
+    n = 3
+    pts = np.random.default_rng(6).standard_normal((n, 3)).astype("<f4")
+    p = tmp_path / "vlist.ply"
+    header = (
+        "ply\nformat binary_little_endian 1.0\n"
+        f"element vertex {n}\n"
+        "property float x\nproperty list uchar float weights\n"
+        "property float y\nproperty float z\nend_header\n"
+    )
+    body = b""
+    for r in range(n):
+        body += pts[r, 0].tobytes()
+        w = np.arange(r + 1, dtype="<f4")  # variable-length list
+        body += np.uint8(len(w)).tobytes() + w.tobytes()
+        body += pts[r, 1].tobytes() + pts[r, 2].tobytes()
+    with open(p, "wb") as fh:
+        fh.write(header.encode())
+        fh.write(body)
+    np.testing.assert_array_equal(load_ply(p), pts)
+
+
+def test_ply_ascii_vertex_list_property(tmp_path):
+    pts = np.array([[1.0, 2.0, 3.0], [4.0, 5.0, 6.0]], dtype=np.float32)
+    p = tmp_path / "alist.ply"
+    with open(p, "w") as fh:
+        fh.write(
+            "ply\nformat ascii 1.0\nelement vertex 2\n"
+            "property float x\nproperty list uchar float w\n"
+            "property float y\nproperty float z\nend_header\n"
+            "1 2 9.5 0.5 2 3\n"
+            "4 0 5 6\n"
+        )
+    np.testing.assert_array_equal(load_ply(p), pts)
