@@ -85,6 +85,7 @@ def run_bench(batch: int = 256, iters: int = 60, warmup: int = 5) -> dict:
     jax.config.update("jax_default_matmul_precision", "highest")
 
     model = FullModel.from_config(FLAGSHIP_CONFIG)
+    model_bf16 = FullModel.from_config({**FLAGSHIP_CONFIG, "compute_dtype": "bfloat16"})
     params = model.init(jax.random.key(0))
 
     n_devices = len(jax.devices())
@@ -113,6 +114,25 @@ def run_bench(batch: int = 256, iters: int = 60, warmup: int = 5) -> dict:
     clouds_per_sec = batch * iters / infer_dt
     infer_gflop = flops_per_cloud(model, n_existing=1024, n_out=2048, training=False) / 1e9
     infer_tflops = clouds_per_sec * infer_gflop / 1e3
+
+    # ---- bf16 mixed-precision inference (same params, bf16 compute) -------
+    @jax.jit
+    def complete_bf16(params, existing, noise, key, epoch):
+        return model_bf16.apply(
+            params, existing, None, key, epoch,
+            num_output_points=2048, training=False, noise=noise,
+        )
+
+    for i in range(warmup):
+        out = complete_bf16(params, existing, noise, jax.random.key(i), epoch)
+    np.asarray(jax.device_get(jnp.sum(out)))
+    bf16_dt = _timed_windows(
+        lambda i: complete_bf16(params, existing, noise, jax.random.key(100 + i), epoch),
+        lambda out: jnp.sum(out),
+        iters,
+    )
+    bf16_clouds_per_sec = batch * iters / bf16_dt
+    bf16_tflops = bf16_clouds_per_sec * infer_gflop / 1e3
 
     # ---- training step ----------------------------------------------------
     train_batch = 64
@@ -160,6 +180,9 @@ def run_bench(batch: int = 256, iters: int = 60, warmup: int = 5) -> dict:
         "achieved_tflops": round(infer_tflops, 2),
         "mfu_vs_bf16_peak": round(infer_tflops * 1e12 / (V5E_BF16_PEAK_FLOPS * n_devices), 4),
         "precision": "fp32-highest",
+        "bf16_clouds_per_sec": round(bf16_clouds_per_sec, 1),
+        "bf16_achieved_tflops": round(bf16_tflops, 2),
+        "bf16_mfu": round(bf16_tflops * 1e12 / (V5E_BF16_PEAK_FLOPS * n_devices), 4),
         "train_step_ms": round(1e3 * best_dt / train_iters, 3),
         "train_clouds_per_sec": round(train_clouds_per_sec, 1),
         "train_gflop_per_cloud": round(train_gflop, 3),

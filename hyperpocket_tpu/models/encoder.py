@@ -52,8 +52,13 @@ def _trunk(params: dict, x: jax.Array) -> jax.Array:
 
 
 def reparameterize(key: jax.Array, mu: jax.Array, raw_std: jax.Array) -> jax.Array:
-    """z = eps * exp(raw_std) + mu (reference encoder.py:38-41)."""
-    eps = jax.random.normal(key, mu.shape, mu.dtype)
+    """z = eps * exp(raw_std) + mu (reference encoder.py:38-41).
+
+    eps is always drawn in fp32 then cast: bf16 normal sampling would draw
+    *different* values (not rounded fp32 ones), making the mixed-precision
+    mode non-comparable to fp32 under the same key.
+    """
+    eps = jax.random.normal(key, mu.shape, jnp.float32).astype(mu.dtype)
     return eps * jnp.exp(raw_std) + mu
 
 

@@ -18,6 +18,10 @@ TPU-first: the per-sample Python loop of the reference is replaced by
 so the decode is one fused batched einsum chain; everything is jittable with
 ``epoch`` traced. Clouds use the natural (B, N, 3) layout throughout (the
 reference shuttles (B, 3, N); transposition happens only at artifact edges).
+
+Mixed precision: ``compute_dtype="bfloat16"`` casts params + activations to
+bf16 inside ``apply`` (MXU-native), while master params, the sampled ball
+points' math, and everything returned to the loss path stay fp32.
 """
 
 from __future__ import annotations
@@ -59,6 +63,7 @@ class FullModel:
     freeze_heads: bool
     target_network_input: dict = field(hash=False)
     ball_method: str = "exact"
+    compute_dtype: str = "float32"
 
     @classmethod
     def from_config(cls, config: dict[str, Any]) -> "FullModel":
@@ -76,6 +81,7 @@ class FullModel:
             freeze_heads=bool(config["target_network"].get("freeze_layers_learning", False)),
             target_network_input=dict(config["target_network_input"]),
             ball_method=str(config.get("ball_method", "exact")),
+            compute_dtype=str(config.get("compute_dtype", "float32")),
         )
 
     # ------------------------------------------------------------------
@@ -199,6 +205,21 @@ class FullModel:
         returns (rec, sigma, mu); we use (rec, mu, sigma) — kld_loss takes
         (mu, sigma)).
         """
+        cd = jnp.dtype(self.compute_dtype)
+        if cd != jnp.dtype(jnp.float32):
+            # Mixed precision: master params stay fp32 (the optimizer and the
+            # loss path never see bf16); casts happen at use, so grads flow
+            # back to fp32 through the cast's VJP. Outputs are upcast below.
+            def cast(a):
+                if a is not None and jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating):
+                    return jnp.asarray(a, cd)
+                return a
+
+            params = jax.tree_util.tree_map(cast, params)
+            existing = cast(existing)
+            missing = cast(missing)
+            noise = cast(noise)
+
         k_enc, k_pts = jax.random.split(key)
         latent, mu, sigma = self._get_latent(params, existing, missing, k_enc, training, noise)
         flat_weights = hyper_network_forward(
@@ -214,8 +235,13 @@ class FullModel:
             method=self.ball_method,
         )
         reconstruction = batched_target_network_forward(
-            flat_weights, pts, list(self.target_layer_out_channels), self.target_use_bias
+            flat_weights, pts.astype(cd), list(self.target_layer_out_channels), self.target_use_bias
         )
+        reconstruction = reconstruction.astype(jnp.float32)
         if training:
+            if mu is not None:
+                mu = mu.astype(jnp.float32)
+            if sigma is not None:
+                sigma = sigma.astype(jnp.float32)
             return reconstruction, mu, sigma
         return reconstruction

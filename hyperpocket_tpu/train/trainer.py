@@ -118,10 +118,15 @@ class Trainer:
         logging_setup(self.result_dir)
         self.log = logging.getLogger("hyperpocket_tpu")
 
-        self.model = FullModel.from_config(config["full_model"])
+        tr = config["training"]
+        # training.compute_dtype = "bfloat16" enables mixed precision: model
+        # matmuls run bf16, master params / losses / optimizer stay fp32.
+        # The <=1e-5 reference-parity budget applies to the fp32 mode only.
+        fm_cfg = dict(config["full_model"])
+        fm_cfg.setdefault("compute_dtype", tr.get("compute_dtype", "float32"))
+        self.model = FullModel.from_config(fm_cfg)
         self.params = self.model.init(self.key)
 
-        tr = config["training"]
         self.loss_coef = float(tr.get("loss_coef", 0.05))
         self.max_epoch = int(tr["max_epoch"])
         self.save_freq = int(tr.get("state_save_frequency", 1))

@@ -280,3 +280,49 @@ def test_frozen_heads_receive_no_gradient():
     grads = jax.grad(loss)(params)
     assert float(jnp.abs(grads["hyper_network"]["heads"]["w"]).max()) == 0.0
     assert float(jnp.abs(grads["hyper_network"]["trunk"][0]["w"]).max()) > 0.0
+
+
+def test_bf16_compute_mode_outputs_fp32_and_tracks_fp32_model():
+    """compute_dtype=bfloat16: outputs are fp32, close to the fp32 model;
+    gradients stay fp32 (mixed precision with fp32 master params)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from hyperpocket_tpu.models import FullModel
+    from hyperpocket_tpu.train.losses import kld_loss, reconstruction_loss
+
+    cfg = {
+        "random_encoder": {"output_size": 16, "use_bias": True, "relu_slope": 0.2},
+        "real_encoder": {"output_size": 16, "use_bias": True, "relu_slope": 0.2},
+        "hyper_network": {"use_bias": True, "relu_slope": 0.2},
+        "target_network": {"use_bias": True, "relu_slope": 0.2,
+                           "freeze_layers_learning": False,
+                           "layer_out_channels": [8, 16, 8]},
+        "target_network_input": {"constant": False,
+                                 "normalization": {"enable": True, "type": "progressive",
+                                                   "epoch": 100}},
+    }
+    m32 = FullModel.from_config(cfg)
+    m16 = FullModel.from_config({**cfg, "compute_dtype": "bfloat16"})
+    params = m32.init(jax.random.key(0))
+    rng = np.random.default_rng(0)
+    existing = jnp.asarray(rng.standard_normal((4, 32, 3)), jnp.float32) * 0.3
+    missing = jnp.asarray(rng.standard_normal((4, 32, 3)), jnp.float32) * 0.3
+    key, ep = jax.random.key(1), jnp.asarray(5.0)
+
+    r32, mu32, sg32 = m32.apply(params, existing, missing, key, ep, num_output_points=64)
+    r16, mu16, sg16 = m16.apply(params, existing, missing, key, ep, num_output_points=64)
+    assert r16.dtype == jnp.float32 and mu16.dtype == jnp.float32 and sg16.dtype == jnp.float32
+    # same RNG keys -> same ball points and eps; only matmul precision differs
+    assert float(jnp.max(jnp.abs(r16 - r32))) < 0.1 * float(jnp.max(jnp.abs(r32))) + 0.05
+    np.testing.assert_allclose(np.asarray(mu16), np.asarray(mu32), atol=0.05)
+
+    def loss_fn(p):
+        rec, mu, sigma = m16.apply(p, existing, missing, key, ep, num_output_points=64)
+        return reconstruction_loss(existing, rec, 0.05) + kld_loss(mu, sigma, 4)
+
+    grads = jax.grad(loss_fn)(params)
+    for leaf in jax.tree_util.tree_leaves(grads):
+        assert leaf.dtype == jnp.float32
+        assert np.isfinite(np.asarray(leaf)).all()
