@@ -160,3 +160,44 @@ def test_trainer_dp_tp_loss_equivalence(tmp_path):
 
     np.testing.assert_allclose(losses["dp"], losses["single"], rtol=2e-4)
     np.testing.assert_allclose(losses["dp_tp"], losses["single"], rtol=2e-4)
+
+
+def test_point_sharded_nn_distance_matches_unsharded():
+    """Ring point-axis sharding == unsharded nn_distance (values and indices)."""
+    from hyperpocket_tpu.ops.chamfer import nn_distance
+    from hyperpocket_tpu.parallel.point_sharding import nn_distance_point_sharded
+
+    mesh = make_mesh(8, 1)
+    rng = np.random.default_rng(21)
+    a = jnp.asarray(rng.standard_normal((2, 64, 3)), jnp.float32)
+    b = jnp.asarray(rng.standard_normal((2, 128, 3)), jnp.float32)
+    d1r, i1r, d2r, i2r = nn_distance(a, b)
+    d1, i1, d2, i2 = nn_distance_point_sharded(a, b, mesh, DATA_AXIS)
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d1r), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(d2), np.asarray(d2r), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i1r))
+    np.testing.assert_array_equal(np.asarray(i2), np.asarray(i2r))
+
+
+def test_point_sharded_chamfer_value_and_grad():
+    from hyperpocket_tpu.ops.chamfer import chamfer_loss
+    from hyperpocket_tpu.parallel.point_sharding import chamfer_loss_point_sharded
+
+    mesh = make_mesh(8, 1)
+    rng = np.random.default_rng(22)
+    x = jnp.asarray(rng.standard_normal((2, 64, 3)), jnp.float32)
+    y = jnp.asarray(rng.standard_normal((2, 64, 3)), jnp.float32)
+    ref = float(chamfer_loss(x, y))
+    val = float(chamfer_loss_point_sharded(x, y, mesh))
+    assert val == pytest.approx(ref, rel=1e-5)
+    g_ref = jax.grad(chamfer_loss)(x, y)
+    g = jax.grad(lambda a, b: chamfer_loss_point_sharded(a, b, mesh))(x, y)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), atol=1e-5)
+
+
+def test_point_sharded_validates_divisibility():
+    from hyperpocket_tpu.parallel.point_sharding import nn_distance_point_sharded
+
+    mesh = make_mesh(8, 1)
+    with pytest.raises(ValueError, match="divide"):
+        nn_distance_point_sharded(jnp.zeros((1, 60, 3)), jnp.zeros((1, 64, 3)), mesh)
