@@ -105,3 +105,65 @@ def restore_metrics(metrics_path: str, epoch: int):
     train = np.load(join(metrics_path, f"{epoch:05}_train.npy"), allow_pickle=True)
     val = np.load(join(metrics_path, f"{epoch:05}_val.npy"), allow_pickle=True)
     return train.tolist(), val.tolist(), float(np.min(val))
+
+
+class AsyncCheckpointer:
+    """Background-thread checkpoint writer for slow-egress hosts.
+
+    Over the axon tunnel a full params+optimizer fetch (~0.5 GB at fp32 for
+    the flagship model) runs at single-digit MB/s, stalling training for
+    minutes per save (CLAUDE.md). ``submit`` therefore (a) snapshots the
+    trees with an on-device ``jnp.copy`` — so the live buffers can be
+    donated to the next train step while the copy is fetched — and (b) runs
+    the device->host fetch + npz write on a daemon thread. With
+    ``drop_if_busy`` (default) a save requested while one is in flight is
+    deferred and counted in ``dropped`` — under slow egress the newest
+    checkpoint wins: the most recent deferred request is flushed by
+    ``wait()``, so the final state of a run is never lost. Set it False to
+    block and queue every save. Call ``wait()`` before reading checkpoints
+    back (Trainer.run does, at the end).
+    """
+
+    def __init__(self, drop_if_busy: bool = True):
+        import threading
+
+        self._threading = threading
+        self._thread: "threading.Thread | None" = None
+        self._pending: tuple | None = None  # newest deferred request
+        self.drop_if_busy = drop_if_busy
+        self.dropped = 0
+
+    def _snapshot_args(self, weights_path, metrics_path, epoch, params, opt_state,
+                       scheduler_state, train_losses, val_losses) -> tuple:
+        import jax.numpy as jnp
+
+        # device-side snapshot: cheap (HBM copy), and unaffected by the next
+        # step's buffer donation
+        params = jax.tree_util.tree_map(jnp.copy, params)
+        opt_state = jax.tree_util.tree_map(jnp.copy, opt_state)
+        return (weights_path, metrics_path, epoch, params, opt_state,
+                dict(scheduler_state), list(train_losses), list(val_losses))
+
+    def submit(self, weights_path: str, metrics_path: str, epoch: int, params,
+               opt_state, scheduler_state: dict, train_losses, val_losses) -> bool:
+        args = self._snapshot_args(weights_path, metrics_path, epoch, params,
+                                   opt_state, scheduler_state, train_losses, val_losses)
+        if self._thread is not None and self._thread.is_alive():
+            if self.drop_if_busy:
+                self._pending = args  # newest deferred request wins
+                self.dropped += 1
+                return False
+            self._thread.join()
+        self._pending = None
+        self._thread = self._threading.Thread(
+            target=save_checkpoint, args=args, daemon=True
+        )
+        self._thread.start()
+        return True
+
+    def wait(self) -> None:
+        if self._thread is not None:
+            self._thread.join()
+        if self._pending is not None:
+            save_checkpoint(*self._pending)
+            self._pending = None

@@ -163,6 +163,16 @@ class Trainer:
             for cat, ds in self.val_dataset_dict.items()
         }
         self.profile_cfg = tr.get("profile", {})
+        # training.checkpoint = {"async": true, "drop_if_busy": true}: fetch
+        # + write checkpoints on a background thread (device-side snapshot
+        # first, so donation of the live buffers is safe). Default sync, to
+        # keep the reference's save-every-cadence semantics exact.
+        ckpt_cfg = tr.get("checkpoint", {})
+        self._async_ckpt = (
+            ckpt.AsyncCheckpointer(bool(ckpt_cfg.get("drop_if_busy", True)))
+            if ckpt_cfg.get("async", False)
+            else None
+        )
 
         # Mesh: (data, model) from config training.parallel — data-parallel
         # batch sharding plus optional Megatron-style tensor parallelism on
@@ -380,12 +390,22 @@ class Trainer:
                     save_plot(sample[1].T, epoch, cat, self.samples_path, "val_gt")
 
             if (epoch % self.save_freq == 0 or is_new_best) and epoch > self.min_save_epoch:
-                ckpt.save_checkpoint(
-                    self.weights_path, self.metrics_path, epoch, self.params, self.opt_state,
-                    {"epoch": epoch, "lr": self.lr_schedule(epoch)},
-                    self.train_losses, self.val_losses,
-                )
-                self.log.debug("Epoch: %s saved", epoch)
+                sched_state = {"epoch": epoch, "lr": self.lr_schedule(epoch)}
+                if self._async_ckpt is not None:
+                    saved = self._async_ckpt.submit(
+                        self.weights_path, self.metrics_path, epoch, self.params,
+                        self.opt_state, sched_state, self.train_losses, self.val_losses,
+                    )
+                    self.log.debug("Epoch: %s %s", epoch,
+                                   "save submitted" if saved else "save dropped (writer busy)")
+                else:
+                    ckpt.save_checkpoint(
+                        self.weights_path, self.metrics_path, epoch, self.params,
+                        self.opt_state, sched_state, self.train_losses, self.val_losses,
+                    )
+                    self.log.debug("Epoch: %s saved", epoch)
                 if tg_logger is not None:
                     tg_logger.log(f"Epoch: {epoch} saved")
+        if self._async_ckpt is not None:
+            self._async_ckpt.wait()
         return self.train_losses, self.val_losses

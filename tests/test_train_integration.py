@@ -125,3 +125,65 @@ def test_hyper_cloud_mode_trains(tmp_path):
     assert np.isfinite(train_losses[0]).all()
     assert train_losses[0][2] == 0.0  # no KLD term
     assert "1e16StepLR" in trainer.result_dir  # naming: one encoder, random only
+
+
+def test_async_checkpointing_matches_sync(tmp_path):
+    """training.checkpoint.async produces the same checkpoint files/values."""
+    import jax
+    import numpy as np
+
+    from hyperpocket_tpu.train import checkpoint as ckpt
+    from hyperpocket_tpu.train.trainer import Trainer
+    from tests.test_data import make_synthetic_shapenet
+
+    root = tmp_path / "data"
+    make_synthetic_shapenet(root, n_models=6, n_gt=64, n_part=32)
+
+    trees = {}
+    for tag, ck in (("sync", {}), ("async", {"async": True, "drop_if_busy": False})):
+        config = make_config(root, tmp_path / f"res_{tag}", max_epoch=2)
+        config["training"]["checkpoint"] = ck
+        trainer = Trainer(config, use_mesh=False)
+        trainer.run(plot_samples=False)
+        path = join(trainer.weights_path, "00002_model.npz")
+        assert exists(path), f"{tag}: checkpoint missing after run()"
+        trees[tag] = ckpt.load_tree(path, trainer.params)
+    for a, b in zip(jax.tree_util.tree_leaves(trees["sync"]),
+                    jax.tree_util.tree_leaves(trees["async"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_async_checkpoint_drop_if_busy_flushes_final(tmp_path):
+    """A save deferred while the writer is busy is flushed by wait()."""
+    import threading
+    import time
+
+    import jax.numpy as jnp
+
+    from hyperpocket_tpu.train import checkpoint as ckpt
+
+    gate = threading.Event()
+    orig = ckpt.save_checkpoint
+    calls = []
+
+    def slow_save(*args):
+        calls.append(args[2])  # epoch
+        gate.wait(5)
+        orig(*args)
+
+    ac = ckpt.AsyncCheckpointer(drop_if_busy=True)
+    params = {"w": jnp.ones((4,))}
+    opt = {"m": jnp.zeros((4,))}
+    ckpt.save_checkpoint, saved = slow_save, ckpt.save_checkpoint
+    try:
+        w, m = str(tmp_path / "w"), str(tmp_path / "m")
+        assert ac.submit(w, m, 1, params, opt, {"epoch": 1}, [], [])
+        time.sleep(0.1)  # writer now blocked in slow_save
+        assert not ac.submit(w, m, 2, {"w": 2 * params["w"]}, opt, {"epoch": 2}, [], [])
+        assert ac.dropped == 1
+        gate.set()
+        ac.wait()
+    finally:
+        ckpt.save_checkpoint = saved
+    assert calls == [1, 2]  # deferred epoch-2 save flushed on wait
+    assert exists(join(str(tmp_path / "w"), "00002_model.npz"))
