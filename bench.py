@@ -16,6 +16,12 @@ Reported alongside clouds/sec: analytic GFLOP/cloud (counted from the model
 configuration, matmul MACs x2), achieved TFLOP/s, and MFU against the chip's
 bf16 peak — so the number is physically checkable (round-1's was not).
 
+The headline value is the production serving mode: bf16 model matmuls with
+the fp32 master/loss path (convergence verified equivalent — README). The
+fp32-highest numbers, which carry the <=1e-5 reference-parity budget, are
+reported in the same line as fp32_* fields, as are train-step timings in
+both modes.
+
 Baseline: the driver's north star is >=10,000 completed clouds/sec on a
 v5e-8 (BASELINE.md); per chip that is 1,250 clouds/sec, which is what
 ``vs_baseline`` is normalised against when a single device is visible.
@@ -144,50 +150,62 @@ def run_bench(batch: int = 256, iters: int = 60, warmup: int = 5) -> dict:
     t_missing = jnp.asarray(rng.standard_normal((train_batch, 1024, 3)), jnp.float32)
     t_gt = jnp.asarray(rng.standard_normal((train_batch, 2048, 3)), jnp.float32)
 
-    def train_dispatch(p, s, i):
-        return step(p, s, t_existing, t_missing, t_gt, jax.random.key(i), epoch, num_points=2048)
+    def measure_train(step_fn):
+        def dispatch(p, s, i):
+            return step_fn(
+                p, s, t_existing, t_missing, t_gt, jax.random.key(i), epoch, num_points=2048
+            )
 
-    # step donates (params, opt_state); thread fresh copies so the inference
-    # benchmark's `params` buffers are never donated away.
-    p = jax.tree_util.tree_map(jnp.copy, params)
-    s = jax.tree_util.tree_map(jnp.copy, opt_state)
-    for i in range(warmup):
-        p, s, loss, *_ = train_dispatch(p, s, i)
-    np.asarray(jax.device_get(loss))
+        # steps donate (params, opt_state); thread fresh copies so the
+        # inference benchmark's `params` buffers are never donated away.
+        p = jax.tree_util.tree_map(jnp.copy, params)
+        s = jax.tree_util.tree_map(jnp.copy, opt_state)
+        for i in range(warmup):
+            p, s, loss, *_ = dispatch(p, s, i)
+        np.asarray(jax.device_get(loss))
+        train_iters = max(iters // 2, 20)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for i in range(train_iters):
+                p, s, loss, *_ = dispatch(p, s, i)
+            val = np.asarray(jax.device_get(loss))
+            assert np.isfinite(val), f"non-finite train loss {val}"
+            best = min(best, time.perf_counter() - t0)
+        return best / train_iters
 
-    train_iters = max(iters // 2, 20)
-    best_dt = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        for i in range(train_iters):
-            p, s, loss, *_ = train_dispatch(p, s, i)
-        val = np.asarray(jax.device_get(loss))
-        assert np.isfinite(val), f"non-finite train loss {val}"
-        best_dt = min(best_dt, time.perf_counter() - t0)
-    train_clouds_per_sec = train_batch * train_iters / best_dt
+    train_dt = measure_train(step)
+    train_clouds_per_sec = train_batch / train_dt
     # fwd + bwd ~= 3x forward matmul FLOPs; Chamfer counted once each way.
     train_gflop = 3.0 * flops_per_cloud(model, n_existing=1024, n_out=2048, training=True) / 1e9
     train_tflops = train_clouds_per_sec * train_gflop / 1e3
 
+    step_bf16 = make_train_step(model_bf16, tx, loss_coef=0.05)
+    train_bf16_dt = measure_train(step_bf16)
+
     baseline_per_chip = 10_000.0 / 8.0
     baseline = baseline_per_chip * n_devices
     return {
+        # headline = production serving mode (bf16 matmuls, fp32 everywhere
+        # the reference-parity budget applies); fp32-highest numbers follow
         "metric": "completion_throughput",
-        "value": round(clouds_per_sec, 1),
+        "value": round(bf16_clouds_per_sec, 1),
         "unit": "clouds/sec",
-        "vs_baseline": round(clouds_per_sec / baseline, 3),
+        "vs_baseline": round(bf16_clouds_per_sec / baseline, 3),
+        "precision": "bf16 compute (fp32 master/loss path)",
         "gflop_per_cloud": round(infer_gflop, 3),
-        "achieved_tflops": round(infer_tflops, 2),
-        "mfu_vs_bf16_peak": round(infer_tflops * 1e12 / (V5E_BF16_PEAK_FLOPS * n_devices), 4),
-        "precision": "fp32-highest",
-        "bf16_clouds_per_sec": round(bf16_clouds_per_sec, 1),
-        "bf16_achieved_tflops": round(bf16_tflops, 2),
-        "bf16_mfu": round(bf16_tflops * 1e12 / (V5E_BF16_PEAK_FLOPS * n_devices), 4),
-        "train_step_ms": round(1e3 * best_dt / train_iters, 3),
+        "achieved_tflops": round(bf16_tflops, 2),
+        "mfu_vs_bf16_peak": round(bf16_tflops * 1e12 / (V5E_BF16_PEAK_FLOPS * n_devices), 4),
+        "fp32_clouds_per_sec": round(clouds_per_sec, 1),
+        "fp32_achieved_tflops": round(infer_tflops, 2),
+        "fp32_mfu_vs_bf16_peak": round(infer_tflops * 1e12 / (V5E_BF16_PEAK_FLOPS * n_devices), 4),
+        "train_step_ms": round(1e3 * train_dt, 3),
         "train_clouds_per_sec": round(train_clouds_per_sec, 1),
         "train_gflop_per_cloud": round(train_gflop, 3),
         "train_achieved_tflops": round(train_tflops, 2),
         "train_mfu_vs_bf16_peak": round(train_tflops * 1e12 / (V5E_BF16_PEAK_FLOPS * n_devices), 4),
+        "train_bf16_step_ms": round(1e3 * train_bf16_dt, 3),
+        "train_bf16_clouds_per_sec": round(train_batch / train_bf16_dt, 1),
     }
 
 

@@ -118,20 +118,25 @@ def _nn_one_direction(q: jax.Array, k: jax.Array, *, tile_n: int = 512,
     return dist[:, 0, :], idx[:, 0, :]
 
 
-def _nn_fused_kernel(q_ref, k_ref, dist1_ref, idx1_ref, dist2_ref, idx2_ref,
-                     key_min, key_idx, *, tile_n: int):
-    """Both NN directions in one pass over the distance tiles.
+def _nn_fused_planes_kernel(q_ref, k_ref, dist1_ref, idx1_ref, dist2_ref,
+                            idx2_ref, kmin, kidx, *, tile_n: int):
+    """Fused both-direction NN with (M, 128)-plane key bookkeeping.
 
-    NOT the default: measured SLOWER than two single-direction launches
-    (6.2 ms vs 3.7 ms at B=64 N=2048 on v5e) — the per-key lane-direction
-    min/argmin and the (M, 1) running-minimum updates under-utilise the VPU
-    (1 of 128 lanes), outweighing the saved distance-tile recompute. Kept
-    as a correct, tested variant for future layout work.
-
-    q_ref (1, 3, TN) query slab, k_ref (1, M, 3) full keys. Per tile j the
-    (M, TN) distances yield the query minima directly (sublane reduce) and
-    update a running key-minimum scratch (lane reduce, (M, 1) orientation —
-    matching the (B, M, 1) output block, so no relayout anywhere).
+    History: round 1's fused kernel lost to two single-direction launches
+    (6.2 ms vs 3.7 at B=64 N=M=2048) because direction 2 did a
+    lane-direction min/argmin per tile and updated an (M, 1) running minimum
+    — 1 of 128 lanes doing work. Here the key-direction state is an (M, 128)
+    PLANE: lane L holds the best distance among query positions congruent to
+    L mod 128, so each tile's update is TN/128 full-width elementwise
+    min/selects, and the only cross-lane reduction happens ONCE after the
+    last tile. Measured (v5e, B=64): N=M=2048 3.0 ms vs 2.7-3.1 for two
+    launches (parity — the remaining cost is the per-128-lane slicing of the
+    512-wide tile); N=2048 M=1024 1.87 ms vs 2.42 (1.3x — the win grows as
+    the key cloud shrinks relative to the query cloud, because the single
+    pass recomputes distances once instead of twice). Two launches stay the
+    default at square shapes. Tile argmin ties resolve to the lowest query
+    index (min over candidate indices), matching numpy/CUDA first-occurrence
+    semantics.
     """
     m = k_ref.shape[1]
     j = pl.program_id(1)
@@ -141,42 +146,58 @@ def _nn_fused_kernel(q_ref, k_ref, dist1_ref, idx1_ref, dist2_ref, idx2_ref,
     for c in range(3):
         diff = keys[:, c : c + 1] - q_ref[0, c : c + 1, :]
         d += diff * diff
-    # direction 1: per-query minima for this tile
+    # direction 1: per-query minima for this tile (sublane reduce, cheap)
     dist1_ref[0, 0, :] = jnp.min(d, axis=0)
     idx1_ref[0, 0, :] = jnp.argmin(d, axis=0).astype(jnp.int32)
-    # direction 2: running per-key minima across query tiles
-    tile_min = jnp.min(d, axis=1, keepdims=True)  # (M, 1)
-    tile_arg = jnp.argmin(d, axis=1).astype(jnp.int32)[:, None] + j * tile_n
+    # direction 2: fold the TN lanes into the 128-wide running planes
+    lane = jax.lax.broadcasted_iota(jnp.int32, (m, 128), 1)
+    for c4 in range(tile_n // 128):
+        dc = d[:, c4 * 128 : (c4 + 1) * 128]  # (M, 128)
+        qidx = lane + (j * tile_n + c4 * 128)
+        if c4 == 0:
+            tile_min, tile_idx = dc, qidx
+        else:
+            better = dc < tile_min
+            tile_idx = jnp.where(better, qidx, tile_idx)
+            tile_min = jnp.where(better, dc, tile_min)
 
     @pl.when(j == 0)
     def _():
-        key_min[...] = tile_min
-        key_idx[...] = tile_arg
+        kmin[...] = tile_min
+        kidx[...] = tile_idx
 
     @pl.when(j > 0)
     def _():
-        better = tile_min < key_min[...]
-        key_min[...] = jnp.where(better, tile_min, key_min[...])
-        key_idx[...] = jnp.where(better, tile_arg, key_idx[...])
+        better = tile_min < kmin[...]
+        kidx[...] = jnp.where(better, tile_idx, kidx[...])
+        kmin[...] = jnp.where(better, tile_min, kmin[...])
 
     @pl.when(j == nt - 1)
     def _():
-        dist2_ref[0, :, :] = key_min[...]
-        idx2_ref[0, :, :] = key_idx[...]
+        # single cross-lane reduce at the end; ties -> lowest query index
+        best = jnp.min(kmin[...], axis=1, keepdims=True)  # (M, 1)
+        cand = jnp.where(kmin[...] == best, kidx[...], jnp.int32(2**31 - 1))
+        dist2_ref[0, :, :] = best
+        idx2_ref[0, :, :] = jnp.min(cand, axis=1, keepdims=True)
 
 
 @functools.partial(jax.jit, static_argnames=("tile_n", "interpret"))
-def _nn_fused(q: jax.Array, k: jax.Array, *, tile_n: int = 512, interpret: bool = False):
-    """(dist1 (B,N), idx1, dist2 (B,M), idx2) in one kernel launch."""
+def _nn_fused_planes(q: jax.Array, k: jax.Array, *, tile_n: int = 512,
+                     interpret: bool = False):
+    """(dist1 (B,N), idx1, dist2 (B,M), idx2) in one launch, plane layout."""
     b, n, _ = q.shape
     m = k.shape[1]
     tile_n = min(tile_n, n)
     while n % tile_n:
         tile_n //= 2
-    if tile_n < 128 and tile_n != n:
-        raise ValueError(f"N={n} must be a multiple of 128 for the pallas kernel")
+    # VMEM budget: the (M, TILE_N) distance tile plus one temporary must fit
+    # the ~16 MB scoped limit alongside the (M, 128) planes
+    while tile_n > 128 and m * tile_n * 8 > 8 * 1024 * 1024:
+        tile_n //= 2
+    if tile_n < 128:
+        raise ValueError(f"N={n} must be a multiple of 128 for the fused kernel")
     qt = jnp.transpose(q, (0, 2, 1))
-    kernel = functools.partial(_nn_fused_kernel, tile_n=tile_n)
+    kernel = functools.partial(_nn_fused_planes_kernel, tile_n=tile_n)
     dist1, idx1, dist2, idx2 = pl.pallas_call(
         kernel,
         grid=(b, n // tile_n),
@@ -197,8 +218,8 @@ def _nn_fused(q: jax.Array, k: jax.Array, *, tile_n: int = 512, interpret: bool 
             jax.ShapeDtypeStruct((b, m, 1), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((m, 1), jnp.float32),
-            pltpu.VMEM((m, 1), jnp.int32),
+            pltpu.VMEM((m, 128), jnp.float32),  # key-min planes
+            pltpu.VMEM((m, 128), jnp.int32),    # key-argmin planes
         ],
         interpret=interpret,
     )(qt, k)
@@ -211,6 +232,13 @@ def _use_interpret() -> bool:
 
 def _nn_forward_pallas(a: jax.Array, b: jax.Array):
     interpret = _use_interpret()
+    n, m = a.shape[1], b.shape[1]
+    if n != m and n % 128 == 0 and m % 128 == 0:
+        # asymmetric clouds: the fused single-pass kernel wins (1.87 ms vs
+        # 2.42 at N=2048 M=1024, B=64) because it computes each distance
+        # tile once for both directions; at square shapes two launches are
+        # at parity or slightly ahead, so they stay the default there
+        return _nn_fused_planes(a, b, interpret=interpret)
     dist1, idx1 = _nn_one_direction(a, b, interpret=interpret)
     dist2, idx2 = _nn_one_direction(b, a, interpret=interpret)
     return dist1, idx1, dist2, idx2

@@ -61,18 +61,6 @@ def test_auto_dispatch_aligned(clouds):
     assert float(chamfer_loss_auto(x, y)) == pytest.approx(float(chamfer_loss(x, y)), rel=1e-5)
 
 
-def test_fused_both_directions_matches(clouds):
-    from hyperpocket_tpu.ops.pallas_nn import _nn_fused
-
-    x, y = clouds
-    d1f, i1f, d2f, i2f = _nn_fused(x, y, interpret=True)
-    d1, i1, d2, i2 = nn_distance(x, y)
-    np.testing.assert_allclose(np.asarray(d1f), np.asarray(d1), atol=1e-5)
-    np.testing.assert_allclose(np.asarray(d2f), np.asarray(d2), atol=1e-5)
-    np.testing.assert_array_equal(np.asarray(i1f), np.asarray(i1))
-    np.testing.assert_array_equal(np.asarray(i2f), np.asarray(i2))
-
-
 def test_tiled_key_axis_matches(clouds):
     """M streamed through VMEM in tiles == single-block result (argmin ties
     resolve to the lowest index in both, since tiles scan in index order)."""
@@ -100,3 +88,30 @@ def test_tiled_key_axis_nonuniform_tile():
     d1, i1, _, _ = nn_distance(x, y)
     np.testing.assert_allclose(np.asarray(d), np.asarray(d1), atol=1e-5)
     np.testing.assert_array_equal(np.asarray(i), np.asarray(i1))
+
+
+def test_fused_planes_matches(clouds):
+    """(M,128)-plane relayout of the fused kernel: exact values + indices."""
+    from hyperpocket_tpu.ops.pallas_nn import _nn_fused_planes
+
+    x, y = clouds
+    d1f, i1f, d2f, i2f = _nn_fused_planes(x, y, interpret=True)
+    d1, i1, d2, i2 = nn_distance(x, y)
+    np.testing.assert_allclose(np.asarray(d1f), np.asarray(d1), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(d2f), np.asarray(d2), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(i1f), np.asarray(i1))
+    np.testing.assert_array_equal(np.asarray(i2f), np.asarray(i2))
+
+
+def test_fused_planes_multi_tile():
+    from hyperpocket_tpu.ops.pallas_nn import _nn_fused_planes
+
+    rng = np.random.default_rng(9)
+    x = jnp.asarray((rng.standard_normal((1, 1024, 3)) * 0.3).astype(np.float32))
+    y = jnp.asarray((rng.standard_normal((1, 256, 3)) * 0.3).astype(np.float32))
+    d1f, i1f, d2f, i2f = _nn_fused_planes(x, y, tile_n=256, interpret=True)
+    d1, i1, d2, i2 = nn_distance(x, y)
+    np.testing.assert_allclose(np.asarray(d1f), np.asarray(d1), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(d2f), np.asarray(d2), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(i1f), np.asarray(i1))
+    np.testing.assert_array_equal(np.asarray(i2f), np.asarray(i2))
