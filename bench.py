@@ -150,29 +150,27 @@ def run_bench(batch: int = 256, iters: int = 60, warmup: int = 5) -> dict:
     t_missing = jnp.asarray(rng.standard_normal((train_batch, 1024, 3)), jnp.float32)
     t_gt = jnp.asarray(rng.standard_normal((train_batch, 2048, 3)), jnp.float32)
 
-    def measure_train(step_fn):
-        def dispatch(p, s, i):
-            return step_fn(
-                p, s, t_existing, t_missing, t_gt, jax.random.key(i), epoch, num_points=2048
-            )
+    train_iters = max(iters // 2, 20)
 
+    def measure_train(step_fn):
         # steps donate (params, opt_state); thread fresh copies so the
         # inference benchmark's `params` buffers are never donated away.
-        p = jax.tree_util.tree_map(jnp.copy, params)
-        s = jax.tree_util.tree_map(jnp.copy, opt_state)
+        st = {
+            "p": jax.tree_util.tree_map(jnp.copy, params),
+            "s": jax.tree_util.tree_map(jnp.copy, opt_state),
+        }
+
+        def dispatch(i):
+            st["p"], st["s"], loss, *_ = step_fn(
+                st["p"], st["s"], t_existing, t_missing, t_gt,
+                jax.random.key(i), epoch, num_points=2048,
+            )
+            return loss
+
         for i in range(warmup):
-            p, s, loss, *_ = dispatch(p, s, i)
+            loss = dispatch(i)
         np.asarray(jax.device_get(loss))
-        train_iters = max(iters // 2, 20)
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            for i in range(train_iters):
-                p, s, loss, *_ = dispatch(p, s, i)
-            val = np.asarray(jax.device_get(loss))
-            assert np.isfinite(val), f"non-finite train loss {val}"
-            best = min(best, time.perf_counter() - t0)
-        return best / train_iters
+        return _timed_windows(dispatch, lambda loss: loss, train_iters) / train_iters
 
     train_dt = measure_train(step)
     train_clouds_per_sec = train_batch / train_dt

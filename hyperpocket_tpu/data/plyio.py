@@ -139,20 +139,29 @@ def _read_vertices_binary(path, f, elements, vertex, endian) -> np.ndarray:
     buf = f.read()
     pos = 0
     out = None
+
+    def read_scalar(ptype: str, at: int):
+        size = _tsize(ptype)
+        if at + size > len(buf):
+            raise PlyParseError(f"{path}: truncated element data")
+        (v,) = np.frombuffer(buf, endian + _PLY_TO_NUMPY[ptype], count=1, offset=at)
+        return v
+
     for name, n_rows, props in elements:
+        is_vertex = name == "vertex"
         lists = [n for n, _ in props if n == "__list__"]
         if not lists:
             dtype = np.dtype([(n, endian + _PLY_TO_NUMPY[t]) for n, t in props])
             end = pos + dtype.itemsize * n_rows
             if end > len(buf):
                 raise PlyParseError(f"{path}: truncated element {name!r}")
-            if name == "vertex":
+            if is_vertex:
                 raw = np.frombuffer(buf, dtype=dtype, count=n_rows, offset=pos)
                 out = np.stack([raw["x"], raw["y"], raw["z"]], axis=1).astype(np.float32)
+                return out  # elements after vertex cannot affect the output
             pos = end
             continue
         # variable-width rows: walk scalar-by-scalar, skipping list payloads
-        is_vertex = name == "vertex"
         if is_vertex:
             out = np.empty((n_rows, 3), dtype=np.float32)
         for r in range(n_rows):
@@ -160,18 +169,20 @@ def _read_vertices_binary(path, f, elements, vertex, endian) -> np.ndarray:
             for pname, ptype in props:
                 if pname == "__list__":
                     ct, vt = ptype.split(":")
-                    (k,) = np.frombuffer(buf, endian + _PLY_TO_NUMPY[ct], count=1, offset=pos)
-                    pos += _tsize(ct) + int(k) * _tsize(vt)
+                    k = int(read_scalar(ct, pos))
+                    pos += _tsize(ct) + k * _tsize(vt)
+                    if pos > len(buf):
+                        raise PlyParseError(f"{path}: truncated element {name!r}")
                 else:
                     if is_vertex and pname in ("x", "y", "z"):
-                        (row[pname],) = np.frombuffer(
-                            buf, endian + _PLY_TO_NUMPY[ptype], count=1, offset=pos
-                        )
+                        row[pname] = read_scalar(ptype, pos)
                     pos += _tsize(ptype)
             if pos > len(buf):
                 raise PlyParseError(f"{path}: truncated element {name!r}")
             if is_vertex:
                 out[r] = (row["x"], row["y"], row["z"])
+        if is_vertex:
+            return out  # skip any trailing elements (old reader's behavior)
     return out
 
 

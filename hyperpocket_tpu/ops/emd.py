@@ -222,9 +222,14 @@ def _match_cost_bwd(res, g):
     if impl != "xla":
         from hyperpocket_tpu.ops import pallas_emd
 
+        # same gate as the forward (incl. B >= 16): below it the XLA path is
+        # cheap enough that the kernel's per-shape Mosaic compile (erratic,
+        # 17-290 s observed) isn't worth paying, and fwd/bwd should come
+        # from matching implementations at any given shape
         use_pallas = impl == "pallas" or (
             jax.default_backend() == "tpu"
             and pallas_emd.emd_shapes_ok(x.shape[1], y.shape[1])
+            and x.shape[0] >= 16
         )
     if use_pallas:
         gx, gy = pallas_emd.match_cost_pallas_bwd(

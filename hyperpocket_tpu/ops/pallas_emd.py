@@ -47,10 +47,19 @@ from jax.experimental.pallas import tpu as pltpu
 from hyperpocket_tpu.ops.emd import _LEVELS, _match_multipliers
 
 
-def _emd_kernel(x_ref, y_ref, out_ref, remain_l, ratio_l, remain_r, ratio_r,
-                cost_acc, *, n: int, m: int, tile_n: int, tile_m: int,
-                multi_l: float, multi_r: float):
-    """x_ref (1, 3, N), y_ref (1, M, 3) -> out_ref (1, 8, 128) (cost at [0,0,0])."""
+def _emd_rounds(x_ref, y_ref, remain_l, ratio_l, remain_r, ratio_r, *, n: int,
+                m: int, tile_n: int, tile_m: int, multi_l: float,
+                multi_r: float, accumulate):
+    """Shared 9-round replay of approxmatchkernel (approxmatch.cu:34-213).
+
+    Phases A (row normalisation) and B (column feasibility) are identical
+    for the cost and its gradients; phase C forms each tile's transported
+    mass factors and hands ``accumulate(d, w_col, rl, sl)`` the
+    direction-specific work (cost for the forward kernel, the
+    matchcostgrad reductions for the backward) before the shared
+    remain_l update. Keeping ONE copy of the round scaffolding guarantees
+    the backward replays the forward's rounds exactly.
+    """
     nt, mt = n // tile_n, m // tile_m
 
     def d_tile_mn(j):
@@ -71,7 +80,6 @@ def _emd_kernel(x_ref, y_ref, out_ref, remain_l, ratio_l, remain_r, ratio_r,
 
     remain_l[...] = jnp.full((1, n), multi_l, jnp.float32)
     remain_r[...] = jnp.full((m, 1), multi_r, jnp.float32)
-    cost_acc[0, 0] = 0.0
 
     for level in _LEVELS:  # 9 static rounds (approxmatch.cu:55-60)
         # Phase A: ratio_l[k] = remain_l[k] / (1e-9 + sum_l kern * remain_r[l])
@@ -98,22 +106,34 @@ def _emd_kernel(x_ref, y_ref, out_ref, remain_l, ratio_l, remain_r, ratio_r,
 
         lax.fori_loop(0, mt, phase_b, 0)
 
-        # Phase C: transported mass -> cost + remain_l update
+        # Phase C: transported mass -> caller accumulation + remain_l update
         def phase_c(j, _):
+            sl = pl.ds(j * tile_n, tile_n)
             d = d_tile_mn(j)
             w_col = jnp.exp(level * d) * ratio_r[...]  # (M, TILE_N), sans ratio_l
-            rl = ratio_l[0:1, pl.ds(j * tile_n, tile_n)]  # (1, TILE_N)
+            rl = ratio_l[0:1, sl]  # (1, TILE_N)
             w_sum = jnp.sum(w_col, axis=0, keepdims=True) * rl
-            cost_acc[0, 0] += jnp.sum(
-                jnp.sum(w_col * jnp.sqrt(d), axis=0, keepdims=True) * rl
-            )
-            remain_l[0, pl.ds(j * tile_n, tile_n)] = jnp.maximum(
-                0.0, remain_l[0, pl.ds(j * tile_n, tile_n)] - w_sum[0]
-            )
+            accumulate(d, w_col, rl, sl)
+            remain_l[0, sl] = jnp.maximum(0.0, remain_l[0, sl] - w_sum[0])
             return 0
 
         lax.fori_loop(0, nt, phase_c, 0)
 
+
+def _emd_kernel(x_ref, y_ref, out_ref, remain_l, ratio_l, remain_r, ratio_r,
+                cost_acc, *, n: int, m: int, tile_n: int, tile_m: int,
+                multi_l: float, multi_r: float):
+    """x_ref (1, 3, N), y_ref (1, M, 3) -> out_ref (1, 8, 128) (cost at [0,0,0])."""
+    cost_acc[0, 0] = 0.0
+
+    def accumulate(d, w_col, rl, sl):
+        cost_acc[0, 0] += jnp.sum(
+            jnp.sum(w_col * jnp.sqrt(d), axis=0, keepdims=True) * rl
+        )
+
+    _emd_rounds(x_ref, y_ref, remain_l, ratio_l, remain_r, ratio_r, n=n, m=m,
+                tile_n=tile_n, tile_m=tile_m, multi_l=multi_l, multi_r=multi_r,
+                accumulate=accumulate)
     out_ref[0, :, :] = jnp.full((8, 128), cost_acc[0, 0], jnp.float32)
 
 
@@ -187,72 +207,26 @@ def _emd_bwd_kernel(x_ref, y_ref, gx_ref, gy_ref, remain_l, ratio_l, remain_r,
     distance before any reduction, mirroring ops/emd.py's backward — so the
     carried state stays O(N + M) and nothing NM-sized touches HBM.
     """
-    nt = n // tile_n
-
-    def d_tile_mn(j):
-        d = jnp.zeros((m, tile_n), jnp.float32)
-        for c in range(3):
-            diff = y_ref[0, :, c : c + 1] - x_ref[0, c : c + 1, pl.ds(j * tile_n, tile_n)]
-            d += diff * diff
-        return d
-
-    def d_tile_mn_t(i):
-        d = jnp.zeros((tile_m, n), jnp.float32)
-        for c in range(3):
-            diff = y_ref[0, pl.ds(i * tile_m, tile_m), c : c + 1] - x_ref[0, c : c + 1, :]
-            d += diff * diff
-        return d
-
-    remain_l[...] = jnp.full((1, n), multi_l, jnp.float32)
-    remain_r[...] = jnp.full((m, 1), multi_r, jnp.float32)
     row_acc[...] = jnp.zeros((1, n), jnp.float32)
     rxy_acc[...] = jnp.zeros((3, n), jnp.float32)
     col_acc[...] = jnp.zeros((m, 1), jnp.float32)
     cyx_acc[...] = jnp.zeros((m, 8), jnp.float32)
 
-    for level in _LEVELS:  # 9 static rounds (approxmatch.cu:55-60)
-        def phase_a(j, _):
-            kern = jnp.exp(level * d_tile_mn(j))
-            suml = jnp.sum(kern * remain_r[...], axis=0, keepdims=True) + 1e-9
-            ratio_l[0, pl.ds(j * tile_n, tile_n)] = (
-                remain_l[0, pl.ds(j * tile_n, tile_n)] / suml[0]
+    def accumulate(d, w_col, rl, sl):
+        # match-over-distance, paired per element before any reduction
+        wd = w_col * rl * lax.rsqrt(jnp.maximum(d, 1e-20))  # (M, TILE_N)
+        row_acc[0, sl] += jnp.sum(wd, axis=0)
+        for c in range(3):
+            rxy_acc[c, sl] += jnp.sum(wd * y_ref[0, :, c : c + 1], axis=0)
+        col_acc[...] += jnp.sum(wd, axis=1, keepdims=True)
+        for c in range(3):
+            cyx_acc[:, c : c + 1] += jnp.sum(
+                wd * x_ref[0, c : c + 1, sl], axis=1, keepdims=True
             )
-            return 0
 
-        lax.fori_loop(0, nt, phase_a, 0)
-
-        def phase_b(i, _):
-            kern = jnp.exp(level * d_tile_mn_t(i))
-            sumr = jnp.sum(kern * ratio_l[...], axis=1, keepdims=True)
-            rr = remain_r[pl.ds(i * tile_m, tile_m), :]
-            sumr = sumr * rr
-            consumption = jnp.minimum(rr / (sumr + 1e-9), 1.0)
-            ratio_r[pl.ds(i * tile_m, tile_m), :] = consumption * rr
-            remain_r[pl.ds(i * tile_m, tile_m), :] = jnp.maximum(0.0, rr - sumr)
-            return 0
-
-        lax.fori_loop(0, m // tile_m, phase_b, 0)
-
-        def phase_c(j, _):
-            sl = pl.ds(j * tile_n, tile_n)
-            d = d_tile_mn(j)
-            w_col = jnp.exp(level * d) * ratio_r[...]  # (M, TILE_N), sans ratio_l
-            rl = ratio_l[0:1, sl]  # (1, TILE_N)
-            w_sum = jnp.sum(w_col, axis=0, keepdims=True) * rl
-            # match-over-distance, paired per element before any reduction
-            wd = w_col * rl * lax.rsqrt(jnp.maximum(d, 1e-20))  # (M, TILE_N)
-            row_acc[0, sl] += jnp.sum(wd, axis=0)
-            for c in range(3):
-                rxy_acc[c, sl] += jnp.sum(wd * y_ref[0, :, c : c + 1], axis=0)
-            col_acc[...] += jnp.sum(wd, axis=1, keepdims=True)
-            for c in range(3):
-                cyx_acc[:, c : c + 1] += jnp.sum(
-                    wd * x_ref[0, c : c + 1, sl], axis=1, keepdims=True
-                )
-            remain_l[0, sl] = jnp.maximum(0.0, remain_l[0, sl] - w_sum[0])
-            return 0
-
-        lax.fori_loop(0, nt, phase_c, 0)
+    _emd_rounds(x_ref, y_ref, remain_l, ratio_l, remain_r, ratio_r, n=n, m=m,
+                tile_n=tile_n, tile_m=tile_m, multi_l=multi_l, multi_r=multi_r,
+                accumulate=accumulate)
 
     for c in range(3):
         gx_ref[0, c, :] = x_ref[0, c, :] * row_acc[0, :] - rxy_acc[c, :]

@@ -181,21 +181,39 @@ def _nn_fused_planes_kernel(q_ref, k_ref, dist1_ref, idx1_ref, dist2_ref,
         idx2_ref[0, :, :] = jnp.min(cand, axis=1, keepdims=True)
 
 
+def _fused_tile_n(n: int, m: int, tile_n: int = 512) -> int | None:
+    """Largest legal query tile for the fused kernel, or None if unsupported.
+
+    Constraints: the kernel folds lanes in exact 128-wide chunks, so tile_n
+    MUST be a multiple of 128 that divides N (anything else silently drops
+    the remainder queries from direction 2); and the (M, TILE_N) distance
+    tile + one temporary + the (M, 128) f32+i32 planes must fit the ~16 MB
+    scoped VMEM limit.
+    """
+    if n % 128 or m % 8:
+        return None
+    tn = min(tile_n, n)
+    tn -= tn % 128
+    while tn >= 128:
+        if n % tn == 0 and m * (tn * 8 + 1024) <= 12 * 1024 * 1024:
+            return tn
+        tn -= 128
+    return None
+
+
 @functools.partial(jax.jit, static_argnames=("tile_n", "interpret"))
 def _nn_fused_planes(q: jax.Array, k: jax.Array, *, tile_n: int = 512,
                      interpret: bool = False):
     """(dist1 (B,N), idx1, dist2 (B,M), idx2) in one launch, plane layout."""
     b, n, _ = q.shape
     m = k.shape[1]
-    tile_n = min(tile_n, n)
-    while n % tile_n:
-        tile_n //= 2
-    # VMEM budget: the (M, TILE_N) distance tile plus one temporary must fit
-    # the ~16 MB scoped limit alongside the (M, 128) planes
-    while tile_n > 128 and m * tile_n * 8 > 8 * 1024 * 1024:
-        tile_n //= 2
-    if tile_n < 128:
-        raise ValueError(f"N={n} must be a multiple of 128 for the fused kernel")
+    tile_n = _fused_tile_n(n, m, tile_n)
+    if tile_n is None:
+        raise ValueError(
+            f"shapes N={n} M={m} unsupported by the fused kernel "
+            "(need N % 128 == 0, a 128-multiple tile dividing N, and the "
+            "key planes + distance tile within VMEM) — use _nn_one_direction"
+        )
     qt = jnp.transpose(q, (0, 2, 1))
     kernel = functools.partial(_nn_fused_planes_kernel, tile_n=tile_n)
     dist1, idx1, dist2, idx2 = pl.pallas_call(
@@ -233,11 +251,13 @@ def _use_interpret() -> bool:
 def _nn_forward_pallas(a: jax.Array, b: jax.Array):
     interpret = _use_interpret()
     n, m = a.shape[1], b.shape[1]
-    if n != m and n % 128 == 0 and m % 128 == 0:
+    if n != m and m % 128 == 0 and _fused_tile_n(n, m) is not None:
         # asymmetric clouds: the fused single-pass kernel wins (1.87 ms vs
         # 2.42 at N=2048 M=1024, B=64) because it computes each distance
         # tile once for both directions; at square shapes two launches are
-        # at parity or slightly ahead, so they stay the default there
+        # at parity or slightly ahead, so they stay the default there.
+        # _fused_tile_n also rejects key clouds whose (M, 128) planes would
+        # not fit VMEM — those stream through the two-launch path below.
         return _nn_fused_planes(a, b, interpret=interpret)
     dist1, idx1 = _nn_one_direction(a, b, interpret=interpret)
     dist2, idx2 = _nn_one_direction(b, a, interpret=interpret)

@@ -64,11 +64,31 @@ def find_latest_epoch(dirpath: str) -> int:
     return max(epochs) if epochs else 0
 
 
-def resolve_restore_epoch(metrics_path: str, epoch: int, restore_policy) -> int:
+def resolve_restore_epoch(metrics_path: str, epoch: int, restore_policy,
+                          weights_path: str | None = None) -> int:
+    """Reference core/setup.py:80-101 policies: latest / best_val / int.
+
+    ``best_val`` picks the argmin of the saved val curve; when
+    ``weights_path`` is given it restricts the argmin to epochs whose
+    checkpoint files actually exist — under async checkpointing with
+    drop_if_busy, a mid-run best save may have been superseded by a newer
+    one (checkpoint.AsyncCheckpointer), and the reference's bare argmin
+    would point at a missing file.
+    """
     if restore_policy == "latest":
         return epoch
     if restore_policy == "best_val":
         val = np.load(join(metrics_path, f"{epoch:05}_val.npy"), allow_pickle=True)
+        val = np.asarray(val, dtype=np.float64).reshape(len(val), -1)[:, 0]
+        if weights_path is not None:
+            saved = {
+                int(m.group("n"))
+                for f in (listdir(weights_path) if exists(weights_path) else [])
+                if (m := _EPOCH_RE.match(f))
+            }
+            candidates = [e for e in range(1, len(val) + 1) if e in saved]
+            if candidates:
+                return min(candidates, key=lambda e: val[e - 1])
         return int(np.argmin(val)) + 1
     try:
         return int(restore_policy)
@@ -93,7 +113,7 @@ def save_checkpoint(weights_path: str, metrics_path: str, epoch: int, params, op
 def restore_model_state(weights_path: str, metrics_path: str, epoch: int, restore_policy,
                         params, opt_state=None):
     """Restore params (and optionally optimizer state); returns (epoch, params, opt_state)."""
-    epoch = resolve_restore_epoch(metrics_path, epoch, restore_policy)
+    epoch = resolve_restore_epoch(metrics_path, epoch, restore_policy, weights_path)
     params = load_tree(join(weights_path, f"{epoch:05}_model.npz"), params)
     if opt_state is not None:
         opt_state = load_tree(join(weights_path, f"{epoch:05}_O.npz"), opt_state)
@@ -119,9 +139,13 @@ class AsyncCheckpointer:
     ``drop_if_busy`` (default) a save requested while one is in flight is
     deferred and counted in ``dropped`` — under slow egress the newest
     checkpoint wins: the most recent deferred request is flushed by
-    ``wait()``, so the final state of a run is never lost. Set it False to
-    block and queue every save. Call ``wait()`` before reading checkpoints
-    back (Trainer.run does, at the end).
+    ``wait()``, so a run's LATEST state is never lost. Intermediate saves
+    (including is_new_best ones) may be superseded by newer requests;
+    ``resolve_restore_epoch("best_val", weights_path=...)`` accounts for
+    that by picking the best epoch among the checkpoints that exist. Set
+    ``drop_if_busy`` False to block and queue every save instead. Call
+    ``wait()`` before reading checkpoints back (Trainer.run does, at the
+    end).
     """
 
     def __init__(self, drop_if_busy: bool = True):

@@ -344,3 +344,46 @@ def test_ply_ascii_vertex_list_property(tmp_path):
             "4 0 5 6\n"
         )
     np.testing.assert_array_equal(load_ply(p), pts)
+
+
+def test_ply_ignores_truncated_trailing_elements(tmp_path):
+    """Elements after vertex are not parsed; a truncated face block must not
+    fail the load (review finding; matches the strict reader's behavior)."""
+    n = 4
+    pts = np.random.default_rng(8).standard_normal((n, 3)).astype("<f4")
+    p = tmp_path / "trailing.ply"
+    header = (
+        "ply\nformat binary_little_endian 1.0\n"
+        f"element vertex {n}\n"
+        "property float x\nproperty list uchar float w\n"
+        "property float y\nproperty float z\n"
+        "element face 1000000\nproperty list uchar int vertex_indices\n"
+        "end_header\n"
+    )
+    body = b""
+    for r in range(n):
+        body += pts[r, 0].tobytes() + np.uint8(0).tobytes()
+        body += pts[r, 1].tobytes() + pts[r, 2].tobytes()
+    body += b"\x03" + np.asarray([0, 1, 2], "<i4").tobytes()  # 1 of 1M faces
+    with open(p, "wb") as fh:
+        fh.write(header.encode())
+        fh.write(body)
+    np.testing.assert_array_equal(load_ply(p), pts)
+
+
+def test_ply_truncated_vertex_list_raises_parse_error(tmp_path):
+    from hyperpocket_tpu.data.plyio import PlyParseError, _load_ply_numpy
+
+    p = tmp_path / "trunc.ply"
+    header = (
+        "ply\nformat binary_little_endian 1.0\n"
+        "element vertex 2\n"
+        "property float x\nproperty list uchar float w\n"
+        "property float y\nproperty float z\nend_header\n"
+    )
+    body = np.float32(1.0).tobytes() + np.uint8(4).tobytes()  # claims 4 floats, has none
+    with open(p, "wb") as fh:
+        fh.write(header.encode())
+        fh.write(body)
+    with pytest.raises(PlyParseError):
+        _load_ply_numpy(p)

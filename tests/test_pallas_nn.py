@@ -115,3 +115,35 @@ def test_fused_planes_multi_tile():
     np.testing.assert_allclose(np.asarray(d2f), np.asarray(d2), atol=1e-5)
     np.testing.assert_array_equal(np.asarray(i1f), np.asarray(i1))
     np.testing.assert_array_equal(np.asarray(i2f), np.asarray(i2))
+
+
+def test_fused_planes_tile_not_dividing_by_128_regression():
+    """N=384 M=4096 once picked tile_n=192 and silently dropped query lanes
+    128-191 from direction 2 (review finding); tiles are now 128-multiples."""
+    from hyperpocket_tpu.ops.pallas_nn import _fused_tile_n, _nn_fused_planes
+
+    tn = _fused_tile_n(384, 4096)
+    assert tn is not None and tn % 128 == 0 and 384 % tn == 0
+    rng = np.random.default_rng(17)
+    x = jnp.asarray((rng.standard_normal((1, 384, 3)) * 0.3).astype(np.float32))
+    y = jnp.asarray((rng.standard_normal((1, 4096, 3)) * 0.3).astype(np.float32))
+    d1f, i1f, d2f, i2f = _nn_fused_planes(x, y, interpret=True)
+    d1, i1, d2, i2 = nn_distance(x, y)
+    np.testing.assert_allclose(np.asarray(d2f), np.asarray(d2), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(i2f), np.asarray(i2))
+    np.testing.assert_array_equal(np.asarray(i1f), np.asarray(i1))
+
+
+def test_dispatch_falls_back_when_fused_unsupported():
+    """N=384 M=8192: fused kernel planes would bust VMEM; the dispatch must
+    stream through two launches instead of raising (review finding)."""
+    from hyperpocket_tpu.ops.pallas_nn import _fused_tile_n
+
+    assert _fused_tile_n(384, 8192) is None
+    rng = np.random.default_rng(18)
+    x = jnp.asarray((rng.standard_normal((1, 384, 3)) * 0.3).astype(np.float32))
+    y = jnp.asarray((rng.standard_normal((1, 8192, 3)) * 0.3).astype(np.float32))
+    d1p, i1p, d2p, i2p = nn_distance_pallas(x, y)
+    d1, i1, d2, i2 = nn_distance(x, y)
+    np.testing.assert_allclose(np.asarray(d1p), np.asarray(d1), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(i2p), np.asarray(i2))

@@ -156,3 +156,22 @@ def test_frozen_heads_masked_from_weight_decay():
     trunk_update = updates["hyper_network"]["trunk"][0]["w"]
     assert float(jnp.abs(heads_update).max()) == 0.0  # frozen: untouched
     assert float(jnp.abs(trunk_update).max()) > 0.0  # decay moves trainables
+
+
+def test_best_val_restore_skips_missing_checkpoints(tmp_path):
+    """best_val picks the best epoch AMONG PERSISTED checkpoints: async
+    checkpointing may have superseded the curve's argmin epoch."""
+    import os
+
+    val = np.array([[3.0], [1.0], [2.0]])  # argmin -> epoch 2
+    np.save(tmp_path / "00003_val.npy", val)
+    w = tmp_path / "weights"
+    os.makedirs(w)
+    for e in (1, 3):  # epoch 2's file was never written
+        (w / f"{e:05}_model.npz").write_bytes(b"")
+    assert resolve_restore_epoch(str(tmp_path), 3, "best_val", str(w)) == 3
+    # with the argmin epoch present it is chosen, as before
+    (w / "00002_model.npz").write_bytes(b"")
+    assert resolve_restore_epoch(str(tmp_path), 3, "best_val", str(w)) == 2
+    # no weights_path: reference behavior (bare argmin)
+    assert resolve_restore_epoch(str(tmp_path), 3, "best_val") == 2
