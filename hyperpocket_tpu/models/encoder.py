@@ -39,15 +39,31 @@ def init_encoder(key: jax.Array, output_size: int, use_bias: bool = True, dtype=
     return {"conv": conv, "fc": fc, "mu": mu, "std": std}
 
 
-def _trunk(params: dict, x: jax.Array) -> jax.Array:
-    """x (B, N, 3) -> pooled features (B, 512)."""
-    h = x
-    n_layers = len(params["conv"])
-    for i, layer in enumerate(params["conv"]):
-        h = apply_dense(layer, h)
-        if i < n_layers - 1:
-            h = jax.nn.relu(h)
-    pooled = jnp.max(h, axis=1)  # global max over points (encoder.py:44)
+def _trunk(params: dict, x: jax.Array, *, fast: bool = False) -> jax.Array:
+    """x (B, N, 3) -> pooled features (B, 512).
+
+    ``fast=True`` (inference paths only) dispatches the conv stack +
+    max-pool to the fused Pallas kernel (ops/pallas_encoder.py): weights and
+    one row tile stay resident in VMEM, so the (B, N, 512) activations never
+    touch HBM. The training path keeps this XLA chain so autodiff sees a
+    plain differentiable graph.
+    """
+    # the fused kernel pays off only in bf16, where the XLA chain is
+    # HBM-bound; fp32-highest is MXU-pass-bound and fusion measured neutral
+    if fast and x.dtype == jnp.bfloat16 and x.shape[1] % 8 == 0:
+        from hyperpocket_tpu.ops.pallas_encoder import trunk_pooled
+
+        pooled = trunk_pooled(
+            params["conv"], x, interpret=jax.default_backend() != "tpu"
+        )
+    else:
+        h = x
+        n_layers = len(params["conv"])
+        for i, layer in enumerate(params["conv"]):
+            h = apply_dense(layer, h)
+            if i < n_layers - 1:
+                h = jax.nn.relu(h)
+        pooled = jnp.max(h, axis=1)  # global max over points (encoder.py:44)
     return jax.nn.relu(apply_dense(params["fc"], pooled))
 
 
@@ -62,14 +78,16 @@ def reparameterize(key: jax.Array, mu: jax.Array, raw_std: jax.Array) -> jax.Arr
     return eps * jnp.exp(raw_std) + mu
 
 
-def encoder_forward(params: dict, x: jax.Array, *, is_vae: bool, key: jax.Array | None = None):
+def encoder_forward(params: dict, x: jax.Array, *, is_vae: bool,
+                    key: jax.Array | None = None, fast: bool = False):
     """Forward pass.
 
     Returns ``mu`` (B, Z) when not VAE; else ``(z, mu, sigma)`` where
     ``sigma = exp(std_head(x))`` — mirroring the reference's return of
     ``torch.exp(logvar)`` as the third value (encoder.py:47-51).
+    ``fast`` selects the fused no-grad trunk kernel (inference only).
     """
-    logit = _trunk(params, x)
+    logit = _trunk(params, x, fast=fast)
     mu = apply_dense(params["mu"], logit)
     if not is_vae:
         return mu

@@ -134,8 +134,14 @@ class FullModel:
 
     # ------------------------------------------------------------------
     def _get_latent(self, params, existing, missing, key, training, noise):
-        """Mode-specific latent composition (full_model.py:98-152)."""
+        """Mode-specific latent composition (full_model.py:98-152).
+
+        Inference (``not training``) dispatches the encoder trunks to the
+        fused Pallas kernel — no gradients flow there, and the headline
+        completion path is encoder-dominated.
+        """
         mode = self.mode
+        fast = not training
         if mode == MODE_HYPER_POCKET:
             if training:
                 z, mu, sigma = encoder_forward(
@@ -145,20 +151,26 @@ class FullModel:
                 return jnp.concatenate([z, real_mu], axis=1), mu, sigma
             if noise is None:
                 _, random_mu, _ = encoder_forward(
-                    params["random_encoder"], missing, is_vae=True, key=key
+                    params["random_encoder"], missing, is_vae=True, key=key, fast=fast
                 )
             else:
                 random_mu = noise
-            real_mu = encoder_forward(params["real_encoder"], existing, is_vae=False)
+            real_mu = encoder_forward(
+                params["real_encoder"], existing, is_vae=False, fast=fast
+            )
             return jnp.concatenate([random_mu, real_mu], axis=1), None, None
         if mode == MODE_HYPER_REC:
-            return encoder_forward(params["real_encoder"], existing, is_vae=False), None, None
+            return (
+                encoder_forward(params["real_encoder"], existing, is_vae=False, fast=fast),
+                None,
+                None,
+            )
         # HyperCloud: the VAE encoder runs on *existing* (full_model.py:136-148)
         if training:
             return encoder_forward(params["random_encoder"], existing, is_vae=True, key=key)
         if noise is None:
             _, random_mu, _ = encoder_forward(
-                params["random_encoder"], existing, is_vae=True, key=key
+                params["random_encoder"], existing, is_vae=True, key=key, fast=fast
             )
             return random_mu, None, None
         return noise, None, None

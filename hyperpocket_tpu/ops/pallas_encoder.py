@@ -1,0 +1,119 @@
+"""Pallas TPU kernel: fused PointNet trunk + max-pool (inference path).
+
+The encoder trunk (models/encoder.py:42-51; reference model/encoder.py:5-53)
+is five pointwise Dense layers 3->64->128->256->512->512 followed by a
+global max over points. Run layer-by-layer under XLA, every intermediate
+activation round-trips HBM: at B=256, N=1024 the (B*N, 512) activations are
+~64 MB bf16 per layer — the inference path is memory-bound (~31% MFU
+measured). This kernel streams row (point) tiles through ALL five layers in
+VMEM — the full weight set is only ~0.9 MB bf16 — and accumulates the
+per-cloud max on the fly, so HBM sees just the (B, N, 3) input, the weights
+once, and the (B, 512) pooled output.
+
+Numerics match the XLA path layer-for-layer: matmuls accumulate fp32 on the
+MXU (preferred_element_type) and each layer's output is cast back to the
+compute dtype before the next layer, exactly like a chain of XLA bf16 dots.
+
+Inference-only by design: ``trunk_pooled`` is wired into the model's
+``training=False`` path (the headline completion metric); the training
+forward keeps the XLA trunk so autodiff sees a plain differentiable graph
+(a backward for this kernel would need saved activations or a recompute
+pass, which cancels the win at training time).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+def _trunk_pool_kernel(x_ref, w1, b1, w2, b2, w3, b3, w4, b4, w5, b5,
+                       out_ref, pooled, *, n_layers_relu: int = 4):
+    """x_ref (1, TILE_R, 3) -> running max into pooled (1, 512) -> out (1, 512)."""
+    j = pl.program_id(1)
+    nt = pl.num_programs(1)
+    x = x_ref[0]  # (TILE_R, 3)
+    dtype = x.dtype
+    # layer 1 as VPU broadcasts: a K=3 contraction wastes the MXU and this
+    # Mosaic's bf16 lhs tiling rejects it outright ("Bad lhs type")
+    acc = jnp.zeros((x.shape[0], w1.shape[1]), jnp.float32) + b1[...].astype(jnp.float32)
+    for c in range(3):
+        acc += x[:, c : c + 1].astype(jnp.float32) * w1[c : c + 1, :].astype(jnp.float32)
+    h = jnp.maximum(acc, 0.0).astype(dtype)
+    for i, (w, b) in enumerate(((w2, b2), (w3, b3), (w4, b4), (w5, b5))):
+        # bf16 MXU pass with fp32 accumulation. precision must be DEFAULT:
+        # the session-global matmul_precision=highest would request fp32
+        # multi-pass contraction on bf16 operands, which Mosaic rejects
+        # ("Bad lhs type"); bf16-out dots are rejected too ("acc to be
+        # 32-bit"). Output is rounded to bf16 per layer like the XLA chain.
+        h = jax.lax.dot(h, w[...], precision=jax.lax.Precision.DEFAULT,
+                        preferred_element_type=jnp.float32)
+        h = (h + b[...].astype(jnp.float32))
+        if i < n_layers_relu - 1:
+            h = jnp.maximum(h, 0.0)
+        h = h.astype(dtype)
+
+    tile_max = jnp.max(h.astype(jnp.float32), axis=0, keepdims=True)  # (1, 512)
+
+    @pl.when(j == 0)
+    def _():
+        pooled[...] = tile_max
+
+    @pl.when(j > 0)
+    def _():
+        pooled[...] = jnp.maximum(pooled[...], tile_max)
+
+    @pl.when(j == nt - 1)
+    def _():
+        out_ref[0, 0, :] = pooled[0, :].astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("tile_r", "interpret"))
+def trunk_pooled(conv_params: list, x: jax.Array, *, tile_r: int = 512,
+                 interpret: bool = False) -> jax.Array:
+    """Fused trunk + max-pool: x (B, N, 3) -> pooled features (B, 512).
+
+    ``conv_params``: the encoder's five conv layer dicts ({"w", "b"}).
+    Equivalent to ``max over points of the 5-layer pointwise stack`` —
+    models/encoder.py:42-50 up to (excluding) the fc layer.
+    """
+    b, n, _ = x.shape
+    tile_r = min(tile_r, n)
+    while n % tile_r:
+        tile_r //= 2
+    if tile_r < 8:
+        raise ValueError(f"N={n} must be a multiple of 8 for the fused trunk kernel")
+    dtype = x.dtype
+    flat = []
+    for layer in conv_params:
+        flat.append(layer["w"].astype(dtype))
+        flat.append(layer["b"].astype(dtype))
+
+    kernel = _trunk_pool_kernel
+    rep = lambda i, j: (0, 0)  # weights replicated across the grid
+    w_specs = []
+    for arr in flat:
+        blk = arr.shape if arr.ndim == 2 else (1, arr.shape[0])
+        w_specs.append(pl.BlockSpec(blk, rep, memory_space=pltpu.VMEM))
+    flat = [a if a.ndim == 2 else a[None, :] for a in flat]
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, n // tile_r),
+        in_specs=[
+            pl.BlockSpec((1, tile_r, 3), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            *w_specs,
+        ],
+        out_specs=pl.BlockSpec((1, 1, 512), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, 1, 512), dtype),
+        scratch_shapes=[pltpu.VMEM((1, 512), jnp.float32)],
+        interpret=interpret,
+    )(x, *flat)
+    return out[:, 0, :]
+
+
+def trunk_pooled_matches_shapes(n: int) -> bool:
+    return n % 8 == 0
