@@ -87,6 +87,9 @@ def run_bench(batch: int = 256, iters: int = 60, warmup: int = 5) -> dict:
     from hyperpocket_tpu.train.optim import make_optimizer
     from hyperpocket_tpu.train.trainer import make_train_step
 
+    from hyperpocket_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
     # measure at the training-quality numerics (fp32 accumulation)
     jax.config.update("jax_default_matmul_precision", "highest")
 

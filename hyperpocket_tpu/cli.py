@@ -17,6 +17,9 @@ from hyperpocket_tpu.train.config import get_results_dir_path, parse_config
 
 
 def main(config: dict) -> None:
+    from hyperpocket_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache(config.get("setup", {}).get("compile_cache"))
     run_mode = config["mode"]
     if run_mode == "training":
         from hyperpocket_tpu.train.trainer import Trainer

@@ -96,6 +96,9 @@ class Trainer:
 
     def __init__(self, config: dict, *, datasets=None, use_mesh: bool | None = None):
         self.config = config
+        from hyperpocket_tpu.utils.compile_cache import enable_compile_cache
+
+        enable_compile_cache(config["setup"].get("compile_cache"))
         seed_setup(config["setup"]["seed"])
         # fp32 accumulation everywhere on the loss/model path by default —
         # the <=1e-5 parity budget vs the fp32 CUDA reference (BASELINE.md);

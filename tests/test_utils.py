@@ -166,3 +166,35 @@ def test_step_timer():
 
     with _pytest.raises(RuntimeError):
         t.stop()
+
+
+def test_compile_cache_writes_entries(tmp_path, monkeypatch):
+    """enable_compile_cache persists serialized executables to disk."""
+    import jax
+    import jax.numpy as jnp
+
+    from hyperpocket_tpu.utils import compile_cache
+
+    monkeypatch.setattr(compile_cache, "_enabled_dir", None)
+    monkeypatch.delenv("HPCD_COMPILE_CACHE", raising=False)
+    cache_dir = str(tmp_path / "jax_cache")
+    assert compile_cache.enable_compile_cache(cache_dir) == cache_dir
+    # idempotent: a second call (even with another dir) keeps the first
+    assert compile_cache.enable_compile_cache(str(tmp_path / "other")) == cache_dir
+
+    @jax.jit
+    def f(x):
+        return x * 3.0 + 1.0
+
+    f(jnp.ones((16, 16))).block_until_ready()
+    import os
+
+    assert os.listdir(cache_dir), "no cache entries written"
+
+
+def test_compile_cache_disabled_by_env(monkeypatch):
+    from hyperpocket_tpu.utils import compile_cache
+
+    monkeypatch.setattr(compile_cache, "_enabled_dir", None)
+    monkeypatch.setenv("HPCD_COMPILE_CACHE", "0")
+    assert compile_cache.enable_compile_cache() is None
