@@ -246,6 +246,11 @@ class FullModel:
             num_output_points,
             method=self.ball_method,
         )
+        # The decode stays on the vmap'd XLA chain in BOTH modes: a fused
+        # Pallas decode (ops/pallas_decoder.py) measured SLOWER (1.05-1.44 ms
+        # vs 0.66-0.76 at B=256 bf16) — XLA's batched GEMM pipelines the MXU
+        # across samples, which per-sample dependent chains in a kernel
+        # cannot. See the negative-results note in that module.
         reconstruction = batched_target_network_forward(
             flat_weights, pts.astype(cd), list(self.target_layer_out_channels), self.target_use_bias
         )
