@@ -244,6 +244,223 @@ def _nn_fused_planes(q: jax.Array, k: jax.Array, *, tile_n: int = 512,
     return dist1[:, 0, :], idx1[:, 0, :], dist2[:, :, 0], idx2[:, :, 0]
 
 
+def _chamfer_loss_grad_kernel(q_ref, k_ref, loss_ref, ga_ref, gb_ref, kmin,
+                              kidx, ga_acc, gb_acc, anm_acc, loss_acc, *,
+                              tile_n: int):
+    """One pass per sample: Chamfer loss AND both gradients. NEGATIVE RESULT.
+
+    Correct (tests) but NOT dispatched: measured 9.2 ms at B=64 N=M=2048
+    fp32 vs 4.7 ms for the existing value_and_grad path (streaming forward +
+    gather/one-hot-scatter VJP). The idea — the loss is a scalar sum of
+    minima, so compute the gradient fields inside the forward and make the
+    backward a scalar scaling — founders on arithmetic reality: the four
+    one-hot gather/scatter contractions each sweep the full (M, N) volume on
+    the MXU, and fp32 exactness (the <=1e-5 parity budget) forces
+    6-pass-HIGHEST, ~1024x6 MXU passes per sample — more than the whole
+    distance pass it was meant to amortise. Meanwhile the "expensive"
+    backward it replaces is already near the VPU floor: the forward's
+    distance sweep dominates and the XLA gather + chunked one-hot scatter
+    backward adds only ~60%. Kept with tests as documentation; lessons:
+
+    * one-hot contractions needing fp32 exactness do NOT belong on the MXU
+      (6x pass multiplier); sublane-oriented VPU reductions or the existing
+      XLA path are the right tools;
+    * the (M, 128) plane trick composes fine with extra per-tile work —
+      phases here reuse it unchanged (and ties resolve first-occurrence,
+      matching nndistance.cu:135-154, via iota==argmin one-hot rows).
+
+    q_ref (1, 3, N) lane-oriented gts, k_ref (1, M, 3) preds ->
+    loss_ref (1, 8, 128) (per-sample loss at [0,0,0]), ga_ref (1, 3, N),
+    gb_ref (1, M, 3).
+    """
+    m = k_ref.shape[1]
+    n = q_ref.shape[2]
+    nt = n // tile_n
+    keys = k_ref[0]  # (M, 3)
+    f32 = jnp.float32
+    loss_acc[0, 0] = 0.0
+    gb_acc[...] = jnp.zeros((m, 4), f32)
+    # k augmented with a ones column for fused sum+count contractions
+    k_aug = jnp.concatenate([keys, jnp.ones((m, 1), f32)], axis=1)  # (M, 4)
+
+    def phase1(j, _):
+        sl = pl.ds(j * tile_n, tile_n)
+        q_tile = q_ref[0, :, sl]  # (3, TN)
+        d = jnp.zeros((m, tile_n), f32)
+        for c in range(3):
+            diff = keys[:, c : c + 1] - q_tile[c : c + 1, :]
+            d += diff * diff
+        # direction 1: loss + one-hot(argmin) gather/scatter
+        dmin = jnp.min(d, axis=0)  # (TN,)
+        loss_acc[0, 0] += jnp.sum(dmin)
+        idx1 = jnp.argmin(d, axis=0).astype(jnp.int32)  # (TN,)
+        row_iota = jax.lax.broadcasted_iota(jnp.int32, (m, tile_n), 0)
+        onehot1 = (row_iota == idx1[None, :]).astype(f32)  # (M, TN)
+        # b_nn as (3, TN): contract M on the MXU (exact: one-hot x fp32)
+        bnn = jax.lax.dot_general(
+            keys, onehot1, (((0,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST, preferred_element_type=f32,
+        )  # (3, TN)
+        ga_acc[:, sl] = 2.0 * (q_tile - bnn)
+        # scatter of [q, 1] rows into gb_acc: (M, TN) x (4, TN)^T -> (M, 4)
+        q_aug = jnp.concatenate(
+            [q_tile, jnp.ones((1, tile_n), f32)], axis=0
+        )  # (4, TN)
+        gb_acc[...] += jax.lax.dot_general(
+            onehot1, q_aug, (((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST, preferred_element_type=f32,
+        )
+        # direction 2: fold lanes into the (M, 128) running planes
+        lane = jax.lax.broadcasted_iota(jnp.int32, (m, 128), 1)
+        for c4 in range(tile_n // 128):
+            dc = d[:, c4 * 128 : (c4 + 1) * 128]
+            qidx = lane + (j * tile_n + c4 * 128)
+            if c4 == 0:
+                tile_min, tile_idx = dc, qidx
+            else:
+                better = dc < tile_min
+                tile_idx = jnp.where(better, qidx, tile_idx)
+                tile_min = jnp.where(better, dc, tile_min)
+
+        @pl.when(j == 0)
+        def _():
+            kmin[...] = tile_min
+            kidx[...] = tile_idx
+
+        @pl.when(j > 0)
+        def _():
+            better = tile_min < kmin[...]
+            kidx[...] = jnp.where(better, tile_idx, kidx[...])
+            kmin[...] = jnp.where(better, tile_min, kmin[...])
+
+        return 0
+
+    jax.lax.fori_loop(0, nt, phase1, 0, unroll=False)
+
+    # direction-2 finalise: ties -> lowest query index (first occurrence)
+    best = jnp.min(kmin[...], axis=1, keepdims=True)  # (M, 1)
+    cand = jnp.where(kmin[...] == best, kidx[...], jnp.int32(2**31 - 1))
+    idx2 = jnp.min(cand, axis=1, keepdims=True)  # (M, 1)
+    loss_acc[0, 0] += jnp.sum(best)
+    anm_acc[...] = jnp.zeros((m, 4), f32)
+
+    def phase2(j, _):
+        sl = pl.ds(j * tile_n, tile_n)
+        q_tile = q_ref[0, :, sl]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (m, tile_n), 1)
+        onehot2 = ((lane + j * tile_n) == idx2).astype(f32)  # (M, TN)
+        q_aug = jnp.concatenate([q_tile, jnp.ones((1, tile_n), f32)], axis=0)
+        # gather a[idx2] rows (and a count that is 1 by construction)
+        anm_acc[...] += jax.lax.dot_general(
+            onehot2, q_aug, (((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST, preferred_element_type=f32,
+        )
+        # scatter of [b, 1] columns into ga: (M, 4)^T x (M, TN) -> (4, TN)
+        sb = jax.lax.dot_general(
+            k_aug, onehot2, (((0,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST, preferred_element_type=f32,
+        )
+        ga_acc[:, sl] += 2.0 * (sb[3:4, :] * q_tile - sb[0:3, :])
+        return 0
+
+    jax.lax.fori_loop(0, nt, phase2, 0, unroll=False)
+
+    ga_ref[0, :, :] = ga_acc[...]
+    gb_ref[0, :, :] = (
+        2.0 * (gb_acc[:, 3:4] * keys - gb_acc[:, 0:3])
+        + 2.0 * (keys - anm_acc[:, 0:3])
+    )
+    loss_ref[0, :, :] = jnp.full((8, 128), loss_acc[0, 0], f32)
+
+
+def _loss_tile_n(n: int, m: int, tile_n: int = 256) -> int | None:
+    """Largest legal query tile for the loss+grad kernel, or None.
+
+    Tighter than _fused_tile_n: this kernel holds the distance tile, a
+    one-hot tile, the per-coordinate diff temporaries AND the (M, 128)
+    planes concurrently — tile_n=256 at M=2048 compile-fails with an 18.5 MB
+    scoped-vmem stack (16 MB limit), so the budget charges ~16 fp32 words
+    per (M, tile_n) element and keeps headroom for the temps.
+    """
+    if n % 128 or m % 8:
+        return None
+    tn = min(tile_n, n)
+    tn -= tn % 128
+    while tn >= 128:
+        if n % tn == 0 and m * (tn * 16 + 1024) <= 8 * 1024 * 1024:
+            return tn
+        tn -= 128
+    return None
+
+
+@functools.partial(jax.jit, static_argnames=("tile_n", "interpret"))
+def _chamfer_loss_grad(q: jax.Array, k: jax.Array, *, tile_n: int = 256,
+                       interpret: bool = False):
+    """Per-sample loss (B,) + gradients ga (B, N, 3), gb (B, M, 3)."""
+    b, n, _ = q.shape
+    m = k.shape[1]
+    tile_n = _loss_tile_n(n, m, tile_n)
+    if tile_n is None:
+        raise ValueError(f"shapes N={n} M={m} unsupported by the fused loss kernel")
+    qt = jnp.transpose(q, (0, 2, 1)).astype(jnp.float32)
+    kernel = functools.partial(_chamfer_loss_grad_kernel, tile_n=tile_n)
+    loss, gat, gb = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, 3, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m, 3), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, n), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m, 3), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, 8, 128), jnp.float32),
+            jax.ShapeDtypeStruct((b, 3, n), jnp.float32),
+            jax.ShapeDtypeStruct((b, m, 3), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((m, 128), jnp.float32),  # direction-2 min planes
+            pltpu.VMEM((m, 128), jnp.int32),    # direction-2 argmin planes
+            pltpu.VMEM((3, n), jnp.float32),    # ga accumulator
+            pltpu.VMEM((m, 4), jnp.float32),    # gb dir-1 scatter (sums + count)
+            pltpu.VMEM((m, 4), jnp.float32),    # a[idx2] gather rows
+            pltpu.SMEM((1, 1), jnp.float32),    # loss accumulator
+        ],
+        interpret=interpret,
+    )(qt, k.astype(jnp.float32))
+    return loss[:, 0, 0], jnp.transpose(gat, (0, 2, 1)), gb
+
+
+@jax.custom_vjp
+def chamfer_loss_fused(gts: jax.Array, preds: jax.Array) -> jax.Array:
+    """chamfer_loss with the fused loss+gradient forward under autodiff.
+
+    NOT the production path (see _chamfer_loss_grad_kernel: 2x slower than
+    chamfer_loss_streaming's value_and_grad at production shapes). Identical
+    value to ``chamfer_loss_streaming``; under ``grad`` the fwd rule
+    computes loss and both gradient fields in one kernel and the backward
+    is the upstream scalar scaling the saved residuals.
+    """
+    return chamfer_loss_streaming(gts, preds)
+
+
+def _clf_fwd(gts, preds):
+    interpret = _use_interpret()
+    loss, ga, gb = _chamfer_loss_grad(gts, preds, interpret=interpret)
+    return jnp.sum(loss), (ga, gb)
+
+
+def _clf_bwd(res, g):
+    ga, gb = res
+    return g * ga, g * gb
+
+
+chamfer_loss_fused.defvjp(_clf_fwd, _clf_bwd)
+
+
 def _use_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
@@ -304,9 +521,10 @@ def pallas_shapes_ok(n: int, m: int) -> bool:
 
 
 def chamfer_loss_auto(gts: jax.Array, preds: jax.Array) -> jax.Array:
-    """Streaming kernel when shapes allow, pure-JAX otherwise."""
+    """Fused loss(+grad-under-autodiff) kernel when shapes allow, else pure JAX."""
     from hyperpocket_tpu.ops.chamfer import chamfer_loss
 
-    if pallas_shapes_ok(gts.shape[1], preds.shape[1]):
+    n, m = gts.shape[1], preds.shape[1]
+    if pallas_shapes_ok(n, m):
         return chamfer_loss_streaming(gts, preds)
     return chamfer_loss(gts, preds)

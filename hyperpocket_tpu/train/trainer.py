@@ -38,18 +38,24 @@ from hyperpocket_tpu.train.optim import make_lr_schedule, make_optimizer, set_le
 from hyperpocket_tpu.utils.logging_setup import logging_setup, seed_setup
 
 
-def make_train_step(model: FullModel, tx, loss_coef: float):
+def make_train_step(model: FullModel, tx, loss_coef: float, prng_impl: str = "threefry2x32"):
     """Returns jitted step(params, opt_state, existing, missing, gt, key, epoch).
 
     ``key`` may be a PRNG key or a uint32 counter scalar — counters are
     folded into a key *inside* the jit, so the host never runs an eager
     ``random.split`` per step (slow over the device tunnel).
+
+    ``prng_impl`` (config ``training.prng_impl``) selects the generator the
+    counter is folded into: "threefry2x32" (default — bitwise-stable across
+    backends) or "rbg" (the TPU's hardware generator; the (B, N, 3) ball
+    sample per step is ~2.8x cheaper, draws remain deterministic per seed
+    but are impl-specific).
     """
 
     @partial(jax.jit, static_argnames=("num_points",), donate_argnums=(0, 1))
     def step(params, opt_state, existing, missing, gt, key, epoch, num_points):
         if jnp.issubdtype(jnp.asarray(key).dtype, jnp.integer):
-            key = jax.random.key(key)
+            key = jax.random.key(key, impl=prng_impl)
         def loss_fn(p):
             rec, mu, sigma = model.apply(
                 p, existing, missing, key, epoch, num_output_points=num_points, training=True
@@ -71,11 +77,11 @@ def make_train_step(model: FullModel, tx, loss_coef: float):
     return step
 
 
-def make_val_step(model: FullModel, loss_coef: float):
+def make_val_step(model: FullModel, loss_coef: float, prng_impl: str = "threefry2x32"):
     @partial(jax.jit, static_argnames=("num_points",))
     def step(params, existing, missing, gt, key, epoch, num_points):
         if jnp.issubdtype(jnp.asarray(key).dtype, jnp.integer):
-            key = jax.random.key(key)
+            key = jax.random.key(key, impl=prng_impl)
         rec = model.apply(
             params, existing, missing, key, epoch, num_output_points=num_points, training=False
         )
@@ -202,8 +208,9 @@ class Trainer:
             self._opt_shardings = jax.tree_util.tree_map(lambda x: x.sharding, self.opt_state)
             self.log.info("mesh: data=%d model=%d", n_data, n_model)
 
-        self.train_step = make_train_step(self.model, self.tx, self.loss_coef)
-        self.val_step = make_val_step(self.model, self.loss_coef)
+        prng_impl = str(tr.get("prng_impl", "threefry2x32"))
+        self.train_step = make_train_step(self.model, self.tx, self.loss_coef, prng_impl)
+        self.val_step = make_val_step(self.model, self.loss_coef, prng_impl)
         self.uses_missing = self.model.mode != "hyper_rec"
 
         self.train_losses: list[np.ndarray] = []

@@ -147,3 +147,95 @@ def test_dispatch_falls_back_when_fused_unsupported():
     d1, i1, d2, i2 = nn_distance(x, y)
     np.testing.assert_allclose(np.asarray(d1p), np.asarray(d1), atol=1e-5)
     np.testing.assert_array_equal(np.asarray(i2p), np.asarray(i2))
+
+
+# ---------------------------------------------------------------------------
+# Fused loss+gradient kernel (chamfer_loss_fused / _chamfer_loss_grad)
+# ---------------------------------------------------------------------------
+
+
+def test_fused_loss_grad_value_matches(clouds):
+    from hyperpocket_tpu.ops.pallas_nn import _chamfer_loss_grad
+
+    x, y = clouds
+    loss, _, _ = _chamfer_loss_grad(x, y, interpret=True)
+    assert float(jnp.sum(loss)) == pytest.approx(float(chamfer_loss(x, y)), rel=1e-5)
+
+
+def test_fused_loss_grad_matches_vjp_oracle(clouds):
+    """ga/gb must equal the gather/scatter VJP of the pure chamfer loss."""
+    from hyperpocket_tpu.ops.pallas_nn import _chamfer_loss_grad
+
+    x, y = clouds
+    _, ga, gb = _chamfer_loss_grad(x, y, interpret=True)
+    gx, gy = jax.grad(chamfer_loss, argnums=(0, 1))(x, y)
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(gx), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gb), np.asarray(gy), atol=1e-4)
+
+
+def test_fused_loss_grad_multi_tile():
+    """N large enough to span several query tiles (both phases loop)."""
+    from hyperpocket_tpu.ops.pallas_nn import _chamfer_loss_grad
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray((rng.standard_normal((1, 512, 3)) * 0.3).astype(np.float32))
+    y = jnp.asarray((rng.standard_normal((1, 136, 3)) * 0.3).astype(np.float32))
+    loss, ga, gb = _chamfer_loss_grad(x, y, tile_n=128, interpret=True)
+    gx, gy = jax.grad(chamfer_loss, argnums=(0, 1))(x, y)
+    assert float(jnp.sum(loss)) == pytest.approx(float(chamfer_loss(x, y)), rel=1e-5)
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(gx), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gb), np.asarray(gy), atol=1e-4)
+
+
+def test_chamfer_loss_fused_custom_vjp(clouds):
+    from hyperpocket_tpu.ops.pallas_nn import chamfer_loss_fused
+
+    x, y = clouds
+    # primal (no grad) equals the streaming loss
+    assert float(chamfer_loss_fused(x, y)) == pytest.approx(
+        float(chamfer_loss(x, y)), rel=1e-5
+    )
+    # cotangent scaling: grad of 3*loss is 3x grad of loss
+    gx1, gy1 = jax.grad(lambda a, b: chamfer_loss_fused(a, b), argnums=(0, 1))(x, y)
+    gx3, gy3 = jax.grad(lambda a, b: 3.0 * chamfer_loss_fused(a, b), argnums=(0, 1))(x, y)
+    np.testing.assert_allclose(np.asarray(gx3), 3.0 * np.asarray(gx1), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(gy3), 3.0 * np.asarray(gy1), rtol=1e-6)
+    gx, gy = jax.grad(chamfer_loss, argnums=(0, 1))(x, y)
+    np.testing.assert_allclose(np.asarray(gx1), np.asarray(gx), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gy1), np.asarray(gy), atol=1e-4)
+
+
+def test_chamfer_loss_auto_grad_parity_aligned(clouds):
+    """value+grad through the auto dispatcher still match the pure oracle."""
+    x, y = clouds
+    val, (gx, gy) = jax.value_and_grad(chamfer_loss_auto, argnums=(0, 1))(x, y)
+    assert float(val) == pytest.approx(float(chamfer_loss(x, y)), rel=1e-5)
+    gxo, gyo = jax.grad(chamfer_loss, argnums=(0, 1))(x, y)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(gxo), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gy), np.asarray(gyo), atol=1e-4)
+
+
+def test_fused_loss_grad_duplicate_points_ties():
+    """Exact duplicates: first-occurrence argmin semantics, one hit per point.
+
+    The oracle is the nn_distance custom VJP (the CUDA scatter semantics,
+    nndistance.cu:135-154) — NOT the pure XLA loss, whose reduce-min VJP
+    splits tied cotangents evenly.
+    """
+    from hyperpocket_tpu.ops.pallas_nn import _chamfer_loss_grad
+
+    x = np.zeros((1, 128, 3), np.float32)
+    x[0, :, 0] = np.repeat(np.arange(64), 2)  # every query duplicated
+    y = np.zeros((1, 128, 3), np.float32)
+    y[0, :, 0] = np.arange(128) * 0.5
+    x, y = jnp.asarray(x), jnp.asarray(y)
+    loss, ga, gb = _chamfer_loss_grad(x, y, interpret=True)
+
+    def nn_loss(a, b):
+        d1, _, d2, _ = nn_distance(a, b)
+        return jnp.sum(d1) + jnp.sum(d2)
+
+    gx, gy = jax.grad(nn_loss, argnums=(0, 1))(x, y)
+    assert float(jnp.sum(loss)) == pytest.approx(float(chamfer_loss(x, y)), rel=1e-5)
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(gx), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gb), np.asarray(gy), atol=1e-4)

@@ -175,3 +175,42 @@ def test_best_val_restore_skips_missing_checkpoints(tmp_path):
     assert resolve_restore_epoch(str(tmp_path), 3, "best_val", str(w)) == 2
     # no weights_path: reference behavior (bare argmin)
     assert resolve_restore_epoch(str(tmp_path), 3, "best_val") == 2
+
+
+def test_train_step_prng_impl_rbg():
+    """training.prng_impl="rbg" folds counters into the hardware generator."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from hyperpocket_tpu.models import FullModel
+    from hyperpocket_tpu.train.optim import make_optimizer
+    from hyperpocket_tpu.train.trainer import make_train_step
+
+    cfg = {
+        "random_encoder": {"output_size": 8, "use_bias": True},
+        "real_encoder": {"output_size": 8, "use_bias": True},
+        "hyper_network": {"use_bias": True},
+        "target_network": {"use_bias": True, "layer_out_channels": [8],
+                            "freeze_layers_learning": False},
+        "target_network_input": {"constant": False,
+                                  "normalization": {"enable": False}},
+    }
+    model = FullModel.from_config(cfg)
+    params = model.init(jax.random.key(0))
+    tx = make_optimizer({"type": "Adam", "hyperparams": {"lr": 1e-3}})
+    opt_state = tx.init(params)
+    step = make_train_step(model, tx, 0.05, prng_impl="rbg")
+    rng = np.random.default_rng(0)
+    ex = jnp.asarray(rng.standard_normal((2, 16, 3)), jnp.float32)
+    mi = jnp.asarray(rng.standard_normal((2, 16, 3)), jnp.float32)
+    gt = jnp.asarray(rng.standard_normal((2, 32, 3)), jnp.float32)
+    p, s, loss, *_ = step(params, opt_state, ex, mi, gt, np.uint32(3),
+                           jnp.asarray(1.0), num_points=32)
+    assert np.isfinite(float(loss))
+    # same counter -> same loss (deterministic per seed within an impl)
+    params2 = model.init(jax.random.key(0))
+    opt2 = tx.init(params2)
+    _, _, loss2, *_ = step(params2, opt2, ex, mi, gt, np.uint32(3),
+                            jnp.asarray(1.0), num_points=32)
+    assert float(loss) == float(loss2)
