@@ -121,20 +121,30 @@ def _emd_rounds(x_ref, y_ref, remain_l, ratio_l, remain_r, ratio_r, *, n: int,
 
 
 def _emd_kernel(x_ref, y_ref, out_ref, remain_l, ratio_l, remain_r, ratio_r,
-                cost_acc, *, n: int, m: int, tile_n: int, tile_m: int,
+                cost_plane, *, n: int, m: int, tile_n: int, tile_m: int,
                 multi_l: float, multi_r: float):
-    """x_ref (1, 3, N), y_ref (1, M, 3) -> out_ref (1, 8, 128) (cost at [0,0,0])."""
-    cost_acc[0, 0] = 0.0
+    """x_ref (1, 3, N), y_ref (1, M, 3) -> out_ref (1, 8, 128) (cost at [0,0,0]).
+
+    The per-tile cost lands in a (1, 128) running plane (lane L accumulates
+    query positions congruent to L mod 128) — the cross-lane reduction to a
+    scalar happens ONCE at the end instead of once per tile per round
+    (a serial shuffle chain on the VPU; same trick as the fused NN kernel's
+    key planes).
+    """
+    cost_plane[...] = jnp.zeros((1, 128), jnp.float32)
 
     def accumulate(d, w_col, rl, sl):
-        cost_acc[0, 0] += jnp.sum(
-            jnp.sum(w_col * jnp.sqrt(d), axis=0, keepdims=True) * rl
-        )
+        vec = jnp.sum(w_col * jnp.sqrt(d), axis=0, keepdims=True) * rl  # (1, TN)
+        if tile_n % 128 == 0:
+            for c4 in range(tile_n // 128):
+                cost_plane[...] += vec[:, c4 * 128 : (c4 + 1) * 128]
+        else:
+            cost_plane[0, 0] += jnp.sum(vec)
 
     _emd_rounds(x_ref, y_ref, remain_l, ratio_l, remain_r, ratio_r, n=n, m=m,
                 tile_n=tile_n, tile_m=tile_m, multi_l=multi_l, multi_r=multi_r,
                 accumulate=accumulate)
-    out_ref[0, :, :] = jnp.full((8, 128), cost_acc[0, 0], jnp.float32)
+    out_ref[0, :, :] = jnp.full((8, 128), jnp.sum(cost_plane[...]), jnp.float32)
 
 
 @functools.partial(jax.jit, static_argnames=("tile_n", "tile_m", "interpret"))
@@ -168,11 +178,11 @@ def match_cost_pallas_fwd(x: jax.Array, y: jax.Array, *, tile_n: int = 256,
         out_specs=pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, 8, 128), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((1, n), jnp.float32),  # remain_l
-            pltpu.VMEM((1, n), jnp.float32),  # ratio_l
-            pltpu.VMEM((m, 1), jnp.float32),  # remain_r
-            pltpu.VMEM((m, 1), jnp.float32),  # ratio_r
-            pltpu.SMEM((1, 1), jnp.float32),  # cost accumulator
+            pltpu.VMEM((1, n), jnp.float32),   # remain_l
+            pltpu.VMEM((1, n), jnp.float32),   # ratio_l
+            pltpu.VMEM((m, 1), jnp.float32),   # remain_r
+            pltpu.VMEM((m, 1), jnp.float32),   # ratio_r
+            pltpu.VMEM((1, 128), jnp.float32), # cost running plane
         ],
         interpret=interpret,
     )(xt, y)
@@ -191,7 +201,7 @@ def emd_shapes_ok(n: int, m: int) -> bool:
 
 
 def _emd_bwd_kernel(x_ref, y_ref, gx_ref, gy_ref, remain_l, ratio_l, remain_r,
-                    ratio_r, row_acc, rxy_acc, col_acc, cyx_acc, *, n: int,
+                    ratio_r, row_acc, rxy_acc, col_plane, cyx_planes, *, n: int,
                     m: int, tile_n: int, tile_m: int, multi_l: float,
                     multi_r: float):
     """x_ref (1, 3, N), y_ref (1, M, 3) -> gx_ref (1, 3, N), gy_ref (1, M, 3).
@@ -206,23 +216,45 @@ def _emd_bwd_kernel(x_ref, y_ref, gx_ref, gy_ref, remain_l, ratio_l, remain_r,
     ``wd`` is formed per (M, TILE_N) tile — weight paired with its own
     distance before any reduction, mirroring ops/emd.py's backward — so the
     carried state stays O(N + M) and nothing NM-sized touches HBM.
+
+    The gy reductions run along lanes, so instead of a per-tile cross-lane
+    reduce (serial shuffle chain, 4 per tile per round) they fold 128-lane
+    chunks into (M, 128) running PLANES — lane L holds the partial sum over
+    query positions congruent to L mod 128 — and the only cross-lane
+    reduction happens once at the end (the fused NN kernel's plane trick).
     """
     row_acc[...] = jnp.zeros((1, n), jnp.float32)
     rxy_acc[...] = jnp.zeros((3, n), jnp.float32)
-    col_acc[...] = jnp.zeros((m, 1), jnp.float32)
-    cyx_acc[...] = jnp.zeros((m, 8), jnp.float32)
+    col_plane[...] = jnp.zeros((m, 128), jnp.float32)
+    cyx_planes[...] = jnp.zeros((3, m, 128), jnp.float32)
+
+    planes = tile_n % 128 == 0
 
     def accumulate(d, w_col, rl, sl):
         # match-over-distance, paired per element before any reduction
         wd = w_col * rl * lax.rsqrt(jnp.maximum(d, 1e-20))  # (M, TILE_N)
+        x_tile = x_ref[0, :, sl]  # (3, TILE_N)
         row_acc[0, sl] += jnp.sum(wd, axis=0)
         for c in range(3):
             rxy_acc[c, sl] += jnp.sum(wd * y_ref[0, :, c : c + 1], axis=0)
-        col_acc[...] += jnp.sum(wd, axis=1, keepdims=True)
-        for c in range(3):
-            cyx_acc[:, c : c + 1] += jnp.sum(
-                wd * x_ref[0, c : c + 1, sl], axis=1, keepdims=True
-            )
+        if planes:
+            # full-width multiply FIRST (a (1, TILE_N) zero-offset broadcast,
+            # like the distance tiles), then slice the product: Mosaic
+            # rejects broadcasting a lane-offset (1, 128) slice directly.
+            # One wx at a time — three live (M, TILE_N) temps blew the 16 MB
+            # scoped-vmem stack at TILE_N=256 (16.7 MB allocation).
+            for c4 in range(tile_n // 128):
+                col_plane[...] += wd[:, c4 * 128 : (c4 + 1) * 128]
+            for c in range(3):
+                wx_c = wd * x_tile[c : c + 1, :]
+                for c4 in range(tile_n // 128):
+                    cyx_planes[c] += wx_c[:, c4 * 128 : (c4 + 1) * 128]
+        else:
+            col_plane[:, 0:1] += jnp.sum(wd, axis=1, keepdims=True)
+            for c in range(3):
+                cyx_planes[c, :, 0:1] += jnp.sum(
+                    wd * x_tile[c : c + 1, :], axis=1, keepdims=True
+                )
 
     _emd_rounds(x_ref, y_ref, remain_l, ratio_l, remain_r, ratio_r, n=n, m=m,
                 tile_n=tile_n, tile_m=tile_m, multi_l=multi_l, multi_r=multi_r,
@@ -230,7 +262,11 @@ def _emd_bwd_kernel(x_ref, y_ref, gx_ref, gy_ref, remain_l, ratio_l, remain_r,
 
     for c in range(3):
         gx_ref[0, c, :] = x_ref[0, c, :] * row_acc[0, :] - rxy_acc[c, :]
-    gy_ref[0, :, :] = y_ref[0, :, :] * col_acc[...] - cyx_acc[:, 0:3]
+    col = jnp.sum(col_plane[...], axis=1, keepdims=True)  # (M, 1)
+    cyx = jnp.stack(
+        [jnp.sum(cyx_planes[c], axis=1) for c in range(3)], axis=1
+    )  # (M, 3)
+    gy_ref[0, :, :] = y_ref[0, :, :] * col - cyx
 
 
 @functools.partial(jax.jit, static_argnames=("tile_n", "tile_m", "interpret"))
@@ -239,6 +275,12 @@ def match_cost_pallas_bwd(x: jax.Array, y: jax.Array, *, tile_n: int = 256,
     """Gradients of match_cost wrt x (B, N, 3) and y (B, M, 3).
 
     Returns ``(gx, gy)`` for a unit upstream cotangent; callers scale by g.
+
+    The plane accumulators (4 x (M, 128) fp32) plus the phase-C temporaries
+    at TILE_N=256 need ~16.7 MB of scoped VMEM at M=2048 — just past the
+    16 MB default — so the call raises ``vmem_limit_bytes`` to 24 MB
+    (v5e VMEM is far larger; shrinking TILE_N to 128 instead measured 24%
+    SLOWER overall from the doubled phase-A/C trip counts).
     """
     b, n, _ = x.shape
     m = y.shape[1]
@@ -273,15 +315,16 @@ def match_cost_pallas_bwd(x: jax.Array, y: jax.Array, *, tile_n: int = 256,
             jax.ShapeDtypeStruct((b, m, 3), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((1, n), jnp.float32),  # remain_l
-            pltpu.VMEM((1, n), jnp.float32),  # ratio_l
-            pltpu.VMEM((m, 1), jnp.float32),  # remain_r
-            pltpu.VMEM((m, 1), jnp.float32),  # ratio_r
-            pltpu.VMEM((1, n), jnp.float32),  # row_acc: sum_l wd
-            pltpu.VMEM((3, n), jnp.float32),  # rxy_acc: sum_l wd*y
-            pltpu.VMEM((m, 1), jnp.float32),  # col_acc: sum_k wd
-            pltpu.VMEM((m, 8), jnp.float32),  # cyx_acc: sum_k wd*x (3 cols used)
+            pltpu.VMEM((1, n), jnp.float32),      # remain_l
+            pltpu.VMEM((1, n), jnp.float32),      # ratio_l
+            pltpu.VMEM((m, 1), jnp.float32),      # remain_r
+            pltpu.VMEM((m, 1), jnp.float32),      # ratio_r
+            pltpu.VMEM((1, n), jnp.float32),      # row_acc: sum_l wd
+            pltpu.VMEM((3, n), jnp.float32),      # rxy_acc: sum_l wd*y
+            pltpu.VMEM((m, 128), jnp.float32),    # col running planes: sum_k wd
+            pltpu.VMEM((3, m, 128), jnp.float32), # cyx running planes: sum_k wd*x
         ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=24 * 1024 * 1024),
         interpret=interpret,
     )(xt, y)
     return jnp.transpose(gxt, (0, 2, 1)), gy
