@@ -39,14 +39,90 @@ def init_encoder(key: jax.Array, output_size: int, use_bias: bool = True, dtype=
     return {"conv": conv, "fc": fc, "mu": mu, "std": std}
 
 
+def _conv_stack(conv_params: list, x: jax.Array) -> jax.Array:
+    """The five pointwise layers (ReLU between, none after the last)."""
+    h = x
+    n_layers = len(conv_params)
+    for i, layer in enumerate(conv_params):
+        h = apply_dense(layer, h)
+        if i < n_layers - 1:
+            h = jax.nn.relu(h)
+    return h
+
+
+@jax.custom_vjp
+def _conv_pooled_sparse(conv_params: list, x: jax.Array) -> jax.Array:
+    """conv stack + max-pool with a sparse-backward custom VJP.
+
+    Identical primal to ``max(_conv_stack(...), axis=1)``. The backward
+    exploits that the global max-pool routes cotangents to at most C_out
+    (=512) of the N points per cloud: it gathers those "virtual rows" (one
+    per output channel, via the pool's argmax), recomputes the stack on them
+    only, and backprops C_out rows instead of N — ~2x fewer backward matmul
+    FLOPs at N=1024 and ZERO saved activations (nothing (B, N, C)-sized is
+    held for the backward). Gather/scatter ride the MXU as one-hot
+    contractions (TPU row gathers serialize; see ops/chamfer.py).
+
+    Tie semantics: cotangents route to the FIRST argmax row — matching
+    torch's max backward (the reference trains through torch.max,
+    model/encoder.py:44); plain jnp.max splits ties evenly instead. Ties
+    have measure zero on real clouds.
+    """
+    return jnp.max(_conv_stack(conv_params, x), axis=1)
+
+
+def _cps_fwd(conv_params, x):
+    h = _conv_stack(conv_params, x)
+    return jnp.max(h, axis=1), (conv_params, x, jnp.argmax(h, axis=1).astype(jnp.int32))
+
+
+def _cps_bwd(res, dpooled):
+    conv_params, x, amax = res
+    n = x.shape[1]
+    n_layers = len(conv_params)
+    onehot = jax.nn.one_hot(amax, n, dtype=x.dtype)  # (B, C_out, N)
+    x_v = jnp.einsum("bcn,bnd->bcd", onehot, x)  # virtual rows (B, C_out, 3)
+    # Recompute the stack on the virtual rows — same ops in the same order,
+    # so activations (and bf16 roundings, hence relu masks) match the primal.
+    pre, hs, h = [], [x_v], x_v
+    for i, layer in enumerate(conv_params):
+        a = apply_dense(layer, h)
+        pre.append(a)
+        h = jax.nn.relu(a) if i < n_layers - 1 else a
+        hs.append(h)
+    grads: list = [None] * n_layers
+    # Last layer (no ReLU after): virtual row c carries cotangent only in
+    # channel c — the diagonal structure collapses its dW/dh to elementwise
+    # forms instead of (C_out x C_out)-dense contractions.
+    w_last = conv_params[-1]["w"]  # (C_in, C_out)
+    g_last = {"w": jnp.einsum("bci,bc->ic", hs[-2], dpooled)}
+    if "b" in conv_params[-1]:
+        g_last["b"] = jnp.sum(dpooled, axis=0)
+    grads[-1] = g_last
+    dh = dpooled[:, :, None] * w_last.T[None, :, :]  # (B, C_out, C_in)
+    for i in range(n_layers - 2, -1, -1):
+        dh = dh * (pre[i] > 0).astype(dh.dtype)  # ReLU mask after layer i
+        g = {"w": jnp.einsum("brk,brc->kc", hs[i], dh)}
+        if "b" in conv_params[i]:
+            g["b"] = jnp.sum(dh, axis=(0, 1))
+        grads[i] = g
+        dh = jnp.einsum("brc,kc->brk", dh, conv_params[i]["w"])
+    dx = jnp.einsum("bcn,bcd->bnd", onehot, dh)  # scatter-add virtual rows
+    return grads, dx
+
+
+_conv_pooled_sparse.defvjp(_cps_fwd, _cps_bwd)
+
+
 def _trunk(params: dict, x: jax.Array, *, fast: bool = False) -> jax.Array:
     """x (B, N, 3) -> pooled features (B, 512).
 
     ``fast=True`` (inference paths only) dispatches the conv stack +
     max-pool to the fused Pallas kernel (ops/pallas_encoder.py): weights and
     one row tile stay resident in VMEM, so the (B, N, 512) activations never
-    touch HBM. The training path keeps this XLA chain so autodiff sees a
-    plain differentiable graph.
+    touch HBM. The training path uses the sparse-backward VJP when the cloud
+    has at least 2x C_out points (below that the virtual-row detour does not
+    pay), else the plain differentiable chain.
     """
     # the fused kernel pays off only in bf16, where the XLA chain is
     # HBM-bound; fp32-highest is MXU-pass-bound and fusion measured neutral
@@ -56,14 +132,10 @@ def _trunk(params: dict, x: jax.Array, *, fast: bool = False) -> jax.Array:
         pooled = trunk_pooled(
             params["conv"], x, interpret=jax.default_backend() != "tpu"
         )
+    elif x.shape[1] >= 2 * params["conv"][-1]["w"].shape[1]:
+        pooled = _conv_pooled_sparse(params["conv"], x)
     else:
-        h = x
-        n_layers = len(params["conv"])
-        for i, layer in enumerate(params["conv"]):
-            h = apply_dense(layer, h)
-            if i < n_layers - 1:
-                h = jax.nn.relu(h)
-        pooled = jnp.max(h, axis=1)  # global max over points (encoder.py:44)
+        pooled = jnp.max(_conv_stack(params["conv"], x), axis=1)  # encoder.py:44
     return jax.nn.relu(apply_dense(params["fc"], pooled))
 
 

@@ -326,3 +326,95 @@ def test_bf16_compute_mode_outputs_fp32_and_tracks_fp32_model():
     for leaf in jax.tree_util.tree_leaves(grads):
         assert leaf.dtype == jnp.float32
         assert np.isfinite(np.asarray(leaf)).all()
+
+
+class TestSparsePoolVJP:
+    """The virtual-row trunk backward must match plain autodiff exactly
+    (away from max ties, where ours follows torch's first-argmax routing)."""
+
+    def _grads(self, fn, conv, x, seed=7):
+        cot = jnp.asarray(
+            np.random.default_rng(seed).standard_normal((x.shape[0], 512)), jnp.float32
+        )
+        def loss(conv, x):
+            return jnp.sum(fn(conv, x) * cot.astype(x.dtype))
+        return jax.grad(loss, argnums=(0, 1))(conv, x)
+
+    def test_matches_dense_autodiff_fp32(self):
+        from hyperpocket_tpu.models.encoder import (
+            _conv_pooled_sparse, _conv_stack, init_encoder,
+        )
+
+        params = init_encoder(jax.random.key(0), 128)
+        x = jnp.asarray(
+            np.random.default_rng(1).standard_normal((3, 1040, 3)), jnp.float32
+        )
+        dense = lambda c, x: jnp.max(_conv_stack(c, x), axis=1)
+        g_ref = self._grads(dense, params["conv"], x)
+        g_sparse = self._grads(_conv_pooled_sparse, params["conv"], x)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-5, atol=1e-5
+            ),
+            g_ref, g_sparse,
+        )
+
+    def test_matches_dense_autodiff_bf16(self):
+        from hyperpocket_tpu.models.encoder import (
+            _conv_pooled_sparse, _conv_stack, init_encoder,
+        )
+
+        params = jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.bfloat16), init_encoder(jax.random.key(2), 128)
+        )
+        x = (jnp.asarray(
+            np.random.default_rng(3).standard_normal((2, 1024, 3)), jnp.float32
+        ) * 0.3).astype(jnp.bfloat16)
+
+        # bf16 rounding makes max TIES common, and jnp.max splits tie
+        # gradients evenly while the sparse VJP routes them to the first
+        # argmax (torch semantics) — so the dense reference must route the
+        # same way: pool through a stop-gradient one-hot of the argmax.
+        def dense_first(c, x):
+            h = _conv_stack(c, x)
+            onehot = jax.lax.stop_gradient(
+                jax.nn.one_hot(jnp.argmax(h, axis=1), h.shape[1], dtype=h.dtype)
+            )  # (B, C, N)
+            return jnp.einsum("bcn,bnc->bc", onehot, h)
+
+        g_ref = self._grads(dense_first, params["conv"], x)
+        g_sparse = self._grads(_conv_pooled_sparse, params["conv"], x)
+        # primal activations are recomputed bit-identically, but grad einsum
+        # orders differ -> bf16-level tolerance
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a, np.float32), np.asarray(b, np.float32),
+                rtol=0.05, atol=0.05,
+            ),
+            g_ref, g_sparse,
+        )
+
+    def test_small_clouds_use_dense_chain(self):
+        """Below 2x C_out points the trainer path must stay plain autodiff."""
+        from hyperpocket_tpu.models.encoder import _trunk, init_encoder
+
+        params = init_encoder(jax.random.key(4), 128)
+        x = jnp.asarray(
+            np.random.default_rng(5).standard_normal((2, 256, 3)), jnp.float32
+        )
+        out = _trunk(params, x)
+        assert out.shape == (2, 512)
+
+    def test_primal_value_unchanged(self):
+        from hyperpocket_tpu.models.encoder import (
+            _conv_pooled_sparse, _conv_stack, init_encoder,
+        )
+
+        params = init_encoder(jax.random.key(6), 128)
+        x = jnp.asarray(
+            np.random.default_rng(7).standard_normal((2, 1024, 3)), jnp.float32
+        )
+        np.testing.assert_array_equal(
+            np.asarray(_conv_pooled_sparse(params["conv"], x)),
+            np.asarray(jnp.max(_conv_stack(params["conv"], x), axis=1)),
+        )

@@ -35,3 +35,33 @@ def test_encoder_forward_fast_path_shapes():
     x = jnp.zeros((2, 64, 3), jnp.bfloat16)
     mu = encoder_forward(params, x, is_vae=False, fast=True)
     assert mu.shape == (2, 128)
+
+
+def test_grouped_and_tiled_kernels_agree():
+    """The grouped whole-cloud kernel must match the row-tiled streaming one."""
+    import hyperpocket_tpu.ops.pallas_encoder as pe
+
+    params = jax.tree_util.tree_map(lambda a: a.astype(jnp.bfloat16), _params())
+    conv = params["conv"]
+    x = (jnp.asarray(np.random.default_rng(2).standard_normal((6, 160, 3)),
+                     jnp.float32) * 0.3).astype(jnp.bfloat16)
+    grouped = pe.trunk_pooled(conv, x, interpret=True)
+    budget = pe._GROUP_ROW_BUDGET
+    try:
+        pe._GROUP_ROW_BUDGET = 1  # force the row-tiled fallback
+        tiled = pe.trunk_pooled(conv, x, tile_r=32, interpret=True)
+    finally:
+        pe._GROUP_ROW_BUDGET = budget
+    np.testing.assert_array_equal(np.asarray(grouped, np.float32),
+                                  np.asarray(tiled, np.float32))
+
+
+def test_pick_group_divides_batch():
+    from hyperpocket_tpu.ops.pallas_encoder import _GROUP_ROW_BUDGET, _pick_group
+
+    for b in (1, 2, 3, 5, 6, 64, 256):
+        for n in (8, 256, 1024, 2048, 8192):
+            g = _pick_group(b, n)
+            assert b % g == 0 and g >= 1
+            if g > 1:
+                assert g * n <= _GROUP_ROW_BUDGET
