@@ -129,7 +129,12 @@ def _nn_fused_planes_kernel(q_ref, k_ref, dist1_ref, idx1_ref, dist2_ref,
     PLANE: lane L holds the best distance among query positions congruent to
     L mod 128, so each tile's update is TN/128 full-width elementwise
     min/selects, and the only cross-lane reduction happens ONCE after the
-    last tile. Measured (v5e, B=64): N=M=2048 3.0 ms vs 2.7-3.1 for two
+    last tile. (A FULL-WIDTH (M, TILE_N) running state — no 128-slicing at
+    all — was also tried and is a NEGATIVE result: 3.2-4.1 ms at square
+    N=M=2048 across TILE_N in {128, 256, 512} vs 3.0 for this kernel; the
+    per-tile select work is identical, so the wider running state only adds
+    VMEM/layout pressure — 8 MB of min+idx scratch at TILE_N=512.)
+    Measured (v5e, B=64): N=M=2048 3.0 ms vs 2.7-3.1 for two
     launches (parity — the remaining cost is the per-128-lane slicing of the
     512-wide tile); N=2048 M=1024 1.87 ms vs 2.42 (1.3x — the win grows as
     the key cloud shrinks relative to the query cloud, because the single
