@@ -177,6 +177,13 @@ def test_compile_cache_writes_entries(tmp_path, monkeypatch):
 
     monkeypatch.setattr(compile_cache, "_enabled_dir", None)
     monkeypatch.delenv("HPCD_COMPILE_CACHE", raising=False)
+    # jax builds its cache instance once per process: if an earlier test
+    # already initialised it (e.g. through Trainer), redirecting
+    # jax_compilation_cache_dir would not re-point the live instance and
+    # this test's entries would land in the old directory. Reset it.
+    from jax._src import compilation_cache as jax_cc
+
+    jax_cc.reset_cache()
     cache_dir = str(tmp_path / "jax_cache")
     assert compile_cache.enable_compile_cache(cache_dir) == cache_dir
     # idempotent: a second call (even with another dir) keeps the first
