@@ -120,8 +120,106 @@ def _emd_rounds(x_ref, y_ref, remain_l, ratio_l, remain_r, ratio_r, *, n: int,
         lax.fori_loop(0, nt, phase_c, 0)
 
 
+def _emd_rounds_cached(x_ref, y_ref, remain_l, ratio_l, remain_r, ratio_r,
+                       d_full, kern_full, pb_planes, *, n: int, m: int,
+                       tile_n: int, multi_l: float, multi_r: float,
+                       accumulate):
+    """The 9-round replay with the (M, N) distance matrix CACHED in VMEM.
+
+    The streaming scaffolding (``_emd_rounds``) recomputes the distance tile
+    in all three phases of every round — 27 distance sweeps and 27 exp
+    sweeps for the 9 levels. But d is STATIC across rounds and kern only
+    changes per level, and v5e's physical VMEM is far larger than the 16 MB
+    scoped-stack default (measured: 120 MB limits compile and run) — so at
+    production M=N=2048 both (M, N) fp32 buffers (32 MB) fit on-chip:
+
+    * d_full is filled once per kernel (1 distance sweep total);
+    * kern_full = exp(level * d_full) once per round (9 exp sweeps);
+    * phases A/B/C read the cached tiles. Phase B, which originally walked
+      transposed (TILE_M, N) tiles, instead folds (M, 128) planes over the
+      SAME column tiles (one cross-lane reduce per round) — no transposed
+      reads of the cache.
+
+    Measured (see wrapper): ~2x over the streaming scaffolding at B=64
+    N=M=2048. Requires tile_n % 128 == 0; callers fall back to
+    ``_emd_rounds`` when the cache does not fit the VMEM budget.
+    """
+    nt = n // tile_n
+
+    def fill_d(j, _):
+        sl = pl.ds(j * tile_n, tile_n)
+        d = jnp.zeros((m, tile_n), jnp.float32)
+        for c in range(3):
+            diff = y_ref[0, :, c : c + 1] - x_ref[0, c : c + 1, sl]
+            d += diff * diff
+        d_full[:, sl] = d
+        return 0
+
+    lax.fori_loop(0, nt, fill_d, 0)
+
+    remain_l[...] = jnp.full((1, n), multi_l, jnp.float32)
+    remain_r[...] = jnp.full((m, 1), multi_r, jnp.float32)
+
+    for level in _LEVELS:  # 9 static rounds (approxmatch.cu:55-60)
+        def fill_kern(j, _):
+            sl = pl.ds(j * tile_n, tile_n)
+            kern_full[:, sl] = jnp.exp(level * d_full[:, sl])
+            return 0
+
+        lax.fori_loop(0, nt, fill_kern, 0)
+
+        def phase_a(j, _):
+            sl = pl.ds(j * tile_n, tile_n)
+            suml = jnp.sum(kern_full[:, sl] * remain_r[...], axis=0,
+                           keepdims=True) + 1e-9
+            ratio_l[0, sl] = remain_l[0, sl] / suml[0]
+            return 0
+
+        lax.fori_loop(0, nt, phase_a, 0)
+
+        pb_planes[...] = jnp.zeros((m, 128), jnp.float32)
+
+        def phase_b_fold(j, _):
+            sl = pl.ds(j * tile_n, tile_n)
+            prod = kern_full[:, sl] * ratio_l[0:1, sl]
+            for c4 in range(tile_n // 128):
+                pb_planes[...] += prod[:, c4 * 128 : (c4 + 1) * 128]
+            return 0
+
+        lax.fori_loop(0, nt, phase_b_fold, 0)
+        rr = remain_r[...]
+        sumr = jnp.sum(pb_planes[...], axis=1, keepdims=True) * rr
+        ratio_r[...] = jnp.minimum(rr / (sumr + 1e-9), 1.0) * rr
+        remain_r[...] = jnp.maximum(0.0, rr - sumr)
+
+        def phase_c(j, _):
+            sl = pl.ds(j * tile_n, tile_n)
+            d = d_full[:, sl]
+            w_col = kern_full[:, sl] * ratio_r[...]
+            rl = ratio_l[0:1, sl]
+            w_sum = jnp.sum(w_col, axis=0, keepdims=True) * rl
+            accumulate(d, w_col, rl, sl)
+            remain_l[0, sl] = jnp.maximum(0.0, remain_l[0, sl] - w_sum[0])
+            return 0
+
+        lax.fori_loop(0, nt, phase_c, 0)
+
+
+# cache budget for the two (M, N) fp32 VMEM buffers; v5e compiles and runs
+# at 120 MB vmem_limit_bytes, keep headroom for tiles + accumulators
+_EMD_CACHE_BUDGET_BYTES = 72 * 1024 * 1024
+
+
+def _emd_cached_ok(n: int, m: int, tile_n: int) -> bool:
+    return tile_n % 128 == 0 and 2 * m * n * 4 <= _EMD_CACHE_BUDGET_BYTES
+
+
+def _emd_vmem_limit(n: int, m: int) -> int:
+    return 2 * m * n * 4 + 24 * 1024 * 1024
+
+
 def _emd_kernel(x_ref, y_ref, out_ref, remain_l, ratio_l, remain_r, ratio_r,
-                cost_plane, *, n: int, m: int, tile_n: int, tile_m: int,
+                cost_plane, *cache, n: int, m: int, tile_n: int, tile_m: int,
                 multi_l: float, multi_r: float):
     """x_ref (1, 3, N), y_ref (1, M, 3) -> out_ref (1, 8, 128) (cost at [0,0,0]).
 
@@ -130,6 +228,10 @@ def _emd_kernel(x_ref, y_ref, out_ref, remain_l, ratio_l, remain_r, ratio_r,
     scalar happens ONCE at the end instead of once per tile per round
     (a serial shuffle chain on the VPU; same trick as the fused NN kernel's
     key planes).
+
+    ``cache``: optional (d_full, kern_full, pb_planes) VMEM scratches —
+    when present the rounds run on the cached scaffolding (see
+    ``_emd_rounds_cached``), else the streaming one.
     """
     cost_plane[...] = jnp.zeros((1, 128), jnp.float32)
 
@@ -141,9 +243,16 @@ def _emd_kernel(x_ref, y_ref, out_ref, remain_l, ratio_l, remain_r, ratio_r,
         else:
             cost_plane[0, 0] += jnp.sum(vec)
 
-    _emd_rounds(x_ref, y_ref, remain_l, ratio_l, remain_r, ratio_r, n=n, m=m,
-                tile_n=tile_n, tile_m=tile_m, multi_l=multi_l, multi_r=multi_r,
-                accumulate=accumulate)
+    if cache:
+        d_full, kern_full, pb_planes = cache
+        _emd_rounds_cached(x_ref, y_ref, remain_l, ratio_l, remain_r, ratio_r,
+                           d_full, kern_full, pb_planes, n=n, m=m,
+                           tile_n=tile_n, multi_l=multi_l, multi_r=multi_r,
+                           accumulate=accumulate)
+    else:
+        _emd_rounds(x_ref, y_ref, remain_l, ratio_l, remain_r, ratio_r, n=n,
+                    m=m, tile_n=tile_n, tile_m=tile_m, multi_l=multi_l,
+                    multi_r=multi_r, accumulate=accumulate)
     out_ref[0, :, :] = jnp.full((8, 128), jnp.sum(cost_plane[...]), jnp.float32)
 
 
@@ -168,6 +277,23 @@ def match_cost_pallas_fwd(x: jax.Array, y: jax.Array, *, tile_n: int = 256,
         _emd_kernel, n=n, m=m, tile_n=tile_n, tile_m=tile_m,
         multi_l=multi_l, multi_r=multi_r,
     )
+    scratch = [
+        pltpu.VMEM((1, n), jnp.float32),   # remain_l
+        pltpu.VMEM((1, n), jnp.float32),   # ratio_l
+        pltpu.VMEM((m, 1), jnp.float32),   # remain_r
+        pltpu.VMEM((m, 1), jnp.float32),   # ratio_r
+        pltpu.VMEM((1, 128), jnp.float32), # cost running plane
+    ]
+    params = {}
+    if _emd_cached_ok(n, m, tile_n):
+        scratch += [
+            pltpu.VMEM((m, n), jnp.float32),   # d_full (static across rounds)
+            pltpu.VMEM((m, n), jnp.float32),   # kern_full (per level)
+            pltpu.VMEM((m, 128), jnp.float32), # phase-B fold planes
+        ]
+        params["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=_emd_vmem_limit(n, m)
+        )
     cost = pl.pallas_call(
         kernel,
         grid=(b,),
@@ -177,14 +303,9 @@ def match_cost_pallas_fwd(x: jax.Array, y: jax.Array, *, tile_n: int = 256,
         ],
         out_specs=pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, 8, 128), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((1, n), jnp.float32),   # remain_l
-            pltpu.VMEM((1, n), jnp.float32),   # ratio_l
-            pltpu.VMEM((m, 1), jnp.float32),   # remain_r
-            pltpu.VMEM((m, 1), jnp.float32),   # ratio_r
-            pltpu.VMEM((1, 128), jnp.float32), # cost running plane
-        ],
+        scratch_shapes=scratch,
         interpret=interpret,
+        **params,
     )(xt, y)
     return cost[:, 0, 0]
 
@@ -201,8 +322,8 @@ def emd_shapes_ok(n: int, m: int) -> bool:
 
 
 def _emd_bwd_kernel(x_ref, y_ref, gx_ref, gy_ref, remain_l, ratio_l, remain_r,
-                    ratio_r, row_acc, rxy_acc, col_plane, cyx_planes, *, n: int,
-                    m: int, tile_n: int, tile_m: int, multi_l: float,
+                    ratio_r, row_acc, rxy_acc, col_plane, cyx_planes, *cache,
+                    n: int, m: int, tile_n: int, tile_m: int, multi_l: float,
                     multi_r: float):
     """x_ref (1, 3, N), y_ref (1, M, 3) -> gx_ref (1, 3, N), gy_ref (1, M, 3).
 
@@ -256,9 +377,16 @@ def _emd_bwd_kernel(x_ref, y_ref, gx_ref, gy_ref, remain_l, ratio_l, remain_r,
                     wd * x_tile[c : c + 1, :], axis=1, keepdims=True
                 )
 
-    _emd_rounds(x_ref, y_ref, remain_l, ratio_l, remain_r, ratio_r, n=n, m=m,
-                tile_n=tile_n, tile_m=tile_m, multi_l=multi_l, multi_r=multi_r,
-                accumulate=accumulate)
+    if cache:
+        d_full, kern_full, pb_planes = cache
+        _emd_rounds_cached(x_ref, y_ref, remain_l, ratio_l, remain_r, ratio_r,
+                           d_full, kern_full, pb_planes, n=n, m=m,
+                           tile_n=tile_n, multi_l=multi_l, multi_r=multi_r,
+                           accumulate=accumulate)
+    else:
+        _emd_rounds(x_ref, y_ref, remain_l, ratio_l, remain_r, ratio_r, n=n,
+                    m=m, tile_n=tile_n, tile_m=tile_m, multi_l=multi_l,
+                    multi_r=multi_r, accumulate=accumulate)
 
     for c in range(3):
         gx_ref[0, c, :] = x_ref[0, c, :] * row_acc[0, :] - rxy_acc[c, :]
@@ -277,10 +405,11 @@ def match_cost_pallas_bwd(x: jax.Array, y: jax.Array, *, tile_n: int = 256,
     Returns ``(gx, gy)`` for a unit upstream cotangent; callers scale by g.
 
     The plane accumulators (4 x (M, 128) fp32) plus the phase-C temporaries
-    at TILE_N=256 need ~16.7 MB of scoped VMEM at M=2048 — just past the
-    16 MB default — so the call raises ``vmem_limit_bytes`` to 24 MB
-    (v5e VMEM is far larger; shrinking TILE_N to 128 instead measured 24%
-    SLOWER overall from the doubled phase-A/C trip counts).
+    at TILE_N=256 exceed the 16 MB scoped-VMEM default at M=2048, so the
+    call always raises ``vmem_limit_bytes`` (24 MB streaming; cache-sized
+    when the (M, N) d/kern cache is in use — see ``_emd_rounds_cached``).
+    Shrinking TILE_N to 128 instead measured 24% SLOWER overall from the
+    doubled phase-A/C trip counts.
     """
     b, n, _ = x.shape
     m = y.shape[1]
@@ -299,6 +428,24 @@ def match_cost_pallas_bwd(x: jax.Array, y: jax.Array, *, tile_n: int = 256,
         _emd_bwd_kernel, n=n, m=m, tile_n=tile_n, tile_m=tile_m,
         multi_l=multi_l, multi_r=multi_r,
     )
+    scratch = [
+        pltpu.VMEM((1, n), jnp.float32),      # remain_l
+        pltpu.VMEM((1, n), jnp.float32),      # ratio_l
+        pltpu.VMEM((m, 1), jnp.float32),      # remain_r
+        pltpu.VMEM((m, 1), jnp.float32),      # ratio_r
+        pltpu.VMEM((1, n), jnp.float32),      # row_acc: sum_l wd
+        pltpu.VMEM((3, n), jnp.float32),      # rxy_acc: sum_l wd*y
+        pltpu.VMEM((m, 128), jnp.float32),    # col running planes: sum_k wd
+        pltpu.VMEM((3, m, 128), jnp.float32), # cyx running planes: sum_k wd*x
+    ]
+    vmem_limit = 24 * 1024 * 1024
+    if _emd_cached_ok(n, m, tile_n):
+        scratch += [
+            pltpu.VMEM((m, n), jnp.float32),   # d_full (static across rounds)
+            pltpu.VMEM((m, n), jnp.float32),   # kern_full (per level)
+            pltpu.VMEM((m, 128), jnp.float32), # phase-B fold planes
+        ]
+        vmem_limit = _emd_vmem_limit(n, m)
     gxt, gy = pl.pallas_call(
         kernel,
         grid=(b,),
@@ -314,17 +461,8 @@ def match_cost_pallas_bwd(x: jax.Array, y: jax.Array, *, tile_n: int = 256,
             jax.ShapeDtypeStruct((b, 3, n), jnp.float32),
             jax.ShapeDtypeStruct((b, m, 3), jnp.float32),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((1, n), jnp.float32),      # remain_l
-            pltpu.VMEM((1, n), jnp.float32),      # ratio_l
-            pltpu.VMEM((m, 1), jnp.float32),      # remain_r
-            pltpu.VMEM((m, 1), jnp.float32),      # ratio_r
-            pltpu.VMEM((1, n), jnp.float32),      # row_acc: sum_l wd
-            pltpu.VMEM((3, n), jnp.float32),      # rxy_acc: sum_l wd*y
-            pltpu.VMEM((m, 128), jnp.float32),    # col running planes: sum_k wd
-            pltpu.VMEM((3, m, 128), jnp.float32), # cyx running planes: sum_k wd*x
-        ],
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=24 * 1024 * 1024),
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
         interpret=interpret,
     )(xt, y)
     return jnp.transpose(gxt, (0, 2, 1)), gy
