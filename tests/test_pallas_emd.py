@@ -57,3 +57,23 @@ def test_dispatch_auto_on_cpu_uses_xla(clouds, monkeypatch):
     a = np.asarray(_forward_dispatch(x, y))
     b = np.asarray(_streaming_cost(x, y))
     np.testing.assert_allclose(a, b, rtol=1e-6)
+
+
+def test_cached_and_streaming_scaffolding_agree(clouds, monkeypatch):
+    """The VMEM-cached round replay must match the streaming fallback."""
+    import hyperpocket_tpu.ops.pallas_emd as pe
+
+    x, y = clouds
+    cached_f = np.asarray(pe.match_cost_pallas_fwd(x, y, interpret=True))
+    cached_g = jax.device_get(pe.match_cost_pallas_bwd(x, y, interpret=True))
+    budget = pe._EMD_CACHE_BUDGET_BYTES
+    try:
+        pe._EMD_CACHE_BUDGET_BYTES = 0  # force the streaming fallback
+        # different tile_n -> fresh trace that re-reads the budget
+        stream_f = np.asarray(pe.match_cost_pallas_fwd(x, y, tile_n=128, interpret=True))
+        stream_g = jax.device_get(pe.match_cost_pallas_bwd(x, y, tile_n=256, interpret=True))
+    finally:
+        pe._EMD_CACHE_BUDGET_BYTES = budget
+    np.testing.assert_allclose(cached_f, stream_f, rtol=1e-5)
+    np.testing.assert_allclose(cached_g[0], stream_g[0], rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(cached_g[1], stream_g[1], rtol=1e-4, atol=1e-6)
