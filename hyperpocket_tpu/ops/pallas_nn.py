@@ -69,7 +69,7 @@ def _nn_one_direction_kernel(q_ref, k_ref, dist_ref, idx_ref, run_min, run_idx,
 
 
 @functools.partial(jax.jit, static_argnames=("tile_n", "tile_m", "interpret"))
-def _nn_one_direction(q: jax.Array, k: jax.Array, *, tile_n: int = 512,
+def _nn_one_direction(q: jax.Array, k: jax.Array, *, tile_n: int = 2048,
                       tile_m: int = 2048, interpret: bool = False):
     """q (B, N, 3), k (B, M, 3) -> (dist (B, N), idx (B, N)).
 
@@ -78,6 +78,12 @@ def _nn_one_direction(q: jax.Array, k: jax.Array, *, tile_n: int = 512,
     vector selects), while larger clouds stream key tiles — the kernel API
     tiles the point axis, which is also what a ring pass over ICI would shard
     (SURVEY §5 long-context analogue).
+
+    ``tile_n`` defaults to a whole 2048-pt cloud: the (TILE_M, TILE_N)
+    distance tile at 2048x2048 is 16 MB, past the default scoped-VMEM stack,
+    so the call raises ``vmem_limit_bytes`` when the working set needs it
+    (v5e takes 120 MB — probed). One grid step per cloud pair measured
+    2.28 vs 2.48 ms (B=64 square) over the old 512-query tiles.
     """
     b, n, _ = q.shape
     m = k.shape[1]
@@ -94,6 +100,13 @@ def _nn_one_direction(q: jax.Array, k: jax.Array, *, tile_n: int = 512,
     qt = jnp.transpose(q, (0, 2, 1))  # (B, 3, N): queries lane-oriented
     grid = (b, n // tile_n, m // tile_m)
     kernel = functools.partial(_nn_one_direction_kernel, tile_m=tile_m)
+    params = {}
+    # ~3 live (TILE_M, TILE_N) fp32 temps (d + diff + select); headroom 8 MB
+    working_set = 3 * tile_m * tile_n * 4 + 8 * 1024 * 1024
+    if working_set > 16 * 1024 * 1024:
+        params["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=working_set
+        )
     dist, idx = pl.pallas_call(
         kernel,
         grid=grid,
@@ -114,6 +127,7 @@ def _nn_one_direction(q: jax.Array, k: jax.Array, *, tile_n: int = 512,
             pltpu.VMEM((1, tile_n), jnp.int32),    # running argmin
         ],
         interpret=interpret,
+        **params,
     )(qt, k)
     return dist[:, 0, :], idx[:, 0, :]
 
@@ -186,28 +200,30 @@ def _nn_fused_planes_kernel(q_ref, k_ref, dist1_ref, idx1_ref, dist2_ref,
         idx2_ref[0, :, :] = jnp.min(cand, axis=1, keepdims=True)
 
 
-def _fused_tile_n(n: int, m: int, tile_n: int = 512) -> int | None:
+def _fused_tile_n(n: int, m: int, tile_n: int = 1024) -> int | None:
     """Largest legal query tile for the fused kernel, or None if unsupported.
 
     Constraints: the kernel folds lanes in exact 128-wide chunks, so tile_n
     MUST be a multiple of 128 that divides N (anything else silently drops
     the remainder queries from direction 2); and the (M, TILE_N) distance
-    tile + one temporary + the (M, 128) f32+i32 planes must fit the ~16 MB
-    scoped VMEM limit.
+    tile + one temporary + the (M, 128) f32+i32 planes must fit the VMEM
+    working-set budget (the wrapper raises ``vmem_limit_bytes`` past the
+    16 MB scoped default when needed — tile 1024 measured 2.69 vs 2.89 ms
+    for 512 at B=64 square).
     """
     if n % 128 or m % 8:
         return None
     tn = min(tile_n, n)
     tn -= tn % 128
     while tn >= 128:
-        if n % tn == 0 and m * (tn * 8 + 1024) <= 12 * 1024 * 1024:
+        if n % tn == 0 and m * (tn * 8 + 1024) <= 24 * 1024 * 1024:
             return tn
         tn -= 128
     return None
 
 
 @functools.partial(jax.jit, static_argnames=("tile_n", "interpret"))
-def _nn_fused_planes(q: jax.Array, k: jax.Array, *, tile_n: int = 512,
+def _nn_fused_planes(q: jax.Array, k: jax.Array, *, tile_n: int = 1024,
                      interpret: bool = False):
     """(dist1 (B,N), idx1, dist2 (B,M), idx2) in one launch, plane layout."""
     b, n, _ = q.shape
@@ -221,6 +237,12 @@ def _nn_fused_planes(q: jax.Array, k: jax.Array, *, tile_n: int = 512,
         )
     qt = jnp.transpose(q, (0, 2, 1))
     kernel = functools.partial(_nn_fused_planes_kernel, tile_n=tile_n)
+    params = {}
+    working_set = m * (tile_n * 8 + 1024) + 8 * 1024 * 1024
+    if working_set > 16 * 1024 * 1024:
+        params["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=working_set
+        )
     dist1, idx1, dist2, idx2 = pl.pallas_call(
         kernel,
         grid=(b, n // tile_n),
@@ -245,6 +267,7 @@ def _nn_fused_planes(q: jax.Array, k: jax.Array, *, tile_n: int = 512,
             pltpu.VMEM((m, 128), jnp.int32),    # key-argmin planes
         ],
         interpret=interpret,
+        **params,
     )(qt, k)
     return dist1[:, 0, :], idx1[:, 0, :], dist2[:, :, 0], idx2[:, :, 0]
 

@@ -135,14 +135,17 @@ def test_fused_planes_tile_not_dividing_by_128_regression():
 
 
 def test_dispatch_falls_back_when_fused_unsupported():
-    """N=384 M=8192: fused kernel planes would bust VMEM; the dispatch must
-    stream through two launches instead of raising (review finding)."""
+    """N=384 M=16384: fused kernel planes would bust even the raised VMEM
+    working-set budget; the dispatch must stream through two launches
+    instead of raising (review finding). (M=8192 is now WITHIN budget —
+    the round-3 vmem_limit raise extended the fused range.)"""
     from hyperpocket_tpu.ops.pallas_nn import _fused_tile_n
 
-    assert _fused_tile_n(384, 8192) is None
+    assert _fused_tile_n(384, 8192) == 128  # extended range: supported now
+    assert _fused_tile_n(384, 16384) is None
     rng = np.random.default_rng(18)
     x = jnp.asarray((rng.standard_normal((1, 384, 3)) * 0.3).astype(np.float32))
-    y = jnp.asarray((rng.standard_normal((1, 8192, 3)) * 0.3).astype(np.float32))
+    y = jnp.asarray((rng.standard_normal((1, 16384, 3)) * 0.3).astype(np.float32))
     d1p, i1p, d2p, i2p = nn_distance_pallas(x, y)
     d1, i1, d2, i2 = nn_distance(x, y)
     np.testing.assert_allclose(np.asarray(d1p), np.asarray(d1), atol=1e-5)
