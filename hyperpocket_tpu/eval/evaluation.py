@@ -26,10 +26,15 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from hyperpocket_tpu.ops.chamfer import chamfer_per_cloud as _chamfer_per_cloud
-from hyperpocket_tpu.ops.chamfer import directed_hausdorff, nn_distance
+from hyperpocket_tpu.ops.pallas_nn import (
+    chamfer_per_cloud_auto as _chamfer_per_cloud,
+    directed_hausdorff_auto as directed_hausdorff,
+    nn_distance_auto as nn_distance,
+)
 
-# jitted for host-loop callers (eager dispatch is slow over the axon tunnel)
+# jitted for host-loop callers (eager dispatch is slow over the axon tunnel);
+# the _auto forms ride the streaming Pallas kernel on TPU-aligned shapes —
+# no (B, N, M) matrix in HBM — and the XLA matrix form elsewhere
 chamfer_per_cloud = jax.jit(_chamfer_per_cloud)
 
 

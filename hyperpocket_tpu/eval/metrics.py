@@ -27,8 +27,8 @@ import jax.numpy as jnp
 import numpy as np
 from scipy.stats import entropy
 
-from hyperpocket_tpu.ops.chamfer import chamfer_per_cloud as _chamfer_per_cloud
 from hyperpocket_tpu.ops.emd import earth_mover_distance
+from hyperpocket_tpu.ops.pallas_nn import chamfer_per_cloud_auto as _chamfer_per_cloud
 
 # host loops call these per chunk — must be jitted (eager dispatch is
 # pathologically slow over the axon tunnel)

@@ -556,3 +556,39 @@ def chamfer_loss_auto(gts: jax.Array, preds: jax.Array) -> jax.Array:
     if pallas_shapes_ok(n, m):
         return chamfer_loss_streaming(gts, preds)
     return chamfer_loss(gts, preds)
+
+
+def nn_distance_auto(a: jax.Array, b: jax.Array):
+    """``nn_distance`` via the streaming kernel on TPU-aligned shapes.
+
+    Identical distances/indices to ``ops.chamfer.nn_distance`` (tested),
+    without the (B, N, M) HBM matrix — the dispatch the metric pipelines
+    (eval/evaluation.py, eval/metrics.py) go through.
+    """
+    if jax.default_backend() == "tpu" and pallas_shapes_ok(a.shape[1], b.shape[1]):
+        return nn_distance_pallas(a, b)
+    from hyperpocket_tpu.ops.chamfer import nn_distance
+
+    return nn_distance(a, b)
+
+
+def chamfer_per_cloud_auto(x: jax.Array, y: jax.Array) -> jax.Array:
+    """``chamfer_per_cloud`` (mean-of-min both directions, per cloud) via the
+    streaming kernel on TPU-aligned shapes; XLA matrix form elsewhere."""
+    if jax.default_backend() == "tpu" and pallas_shapes_ok(x.shape[1], y.shape[1]):
+        d1, _, d2, _ = nn_distance_pallas(x, y)
+        return jnp.mean(d1, axis=1) + jnp.mean(d2, axis=1)
+    from hyperpocket_tpu.ops.chamfer import chamfer_per_cloud
+
+    return chamfer_per_cloud(x, y)
+
+
+def directed_hausdorff_auto(a: jax.Array, b: jax.Array) -> jax.Array:
+    """``directed_hausdorff`` (max over a of sqrt NN-dist into b) via the
+    streaming kernel on TPU-aligned shapes (UHD's inner op)."""
+    if jax.default_backend() == "tpu" and pallas_shapes_ok(a.shape[1], b.shape[1]):
+        dist, _ = _nn_one_direction(a, b, interpret=_use_interpret())
+        return jnp.max(jnp.sqrt(jnp.maximum(dist, 0.0)), axis=1)
+    from hyperpocket_tpu.ops.chamfer import directed_hausdorff
+
+    return directed_hausdorff(a, b)

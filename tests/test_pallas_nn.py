@@ -242,3 +242,22 @@ def test_fused_loss_grad_duplicate_points_ties():
     assert float(jnp.sum(loss)) == pytest.approx(float(chamfer_loss(x, y)), rel=1e-5)
     np.testing.assert_allclose(np.asarray(ga), np.asarray(gx), atol=1e-4)
     np.testing.assert_allclose(np.asarray(gb), np.asarray(gy), atol=1e-4)
+
+
+def test_auto_metric_dispatch_cpu_fallbacks():
+    """The _auto metric forms must equal the XLA forms on CPU (fallback path)."""
+    from hyperpocket_tpu.ops.chamfer import (chamfer_per_cloud,
+                                             directed_hausdorff, nn_distance)
+    from hyperpocket_tpu.ops.pallas_nn import (chamfer_per_cloud_auto,
+                                               directed_hausdorff_auto,
+                                               nn_distance_auto)
+
+    rng = np.random.default_rng(21)
+    x = jnp.asarray((rng.standard_normal((2, 256, 3)) * 0.3).astype(np.float32))
+    y = jnp.asarray((rng.standard_normal((2, 128, 3)) * 0.3).astype(np.float32))
+    np.testing.assert_array_equal(np.asarray(chamfer_per_cloud_auto(x, y)),
+                                  np.asarray(chamfer_per_cloud(x, y)))
+    np.testing.assert_array_equal(np.asarray(directed_hausdorff_auto(x, y)),
+                                  np.asarray(directed_hausdorff(x, y)))
+    for a, b in zip(nn_distance_auto(x, y), nn_distance(x, y)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
