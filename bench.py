@@ -190,6 +190,18 @@ def run_bench(batch: int = 256, iters: int = 60, warmup: int = 5) -> dict:
     step_bf16 = make_train_step(model_bf16, tx, loss_coef=0.05, prng_impl="rbg")
     train_bf16_dt = measure_train(step_bf16)
 
+    # ---- loss-path kernels (B=64, N=M=2048: the metric pipelines' shapes) --
+    from hyperpocket_tpu.ops.emd import match_cost
+    from hyperpocket_tpu.ops.pallas_nn import chamfer_loss_streaming
+
+    kb = 64
+    ka = jnp.asarray(rng.standard_normal((kb, 2048, 3)), jnp.float32) * 0.3
+    kc = jnp.asarray(rng.standard_normal((kb, 2048, 3)), jnp.float32) * 0.3
+    emd_fn = jax.jit(match_cost)
+    emd_dt = _timed_windows(lambda i: emd_fn(ka, kc), lambda o: jnp.sum(o), 10)
+    cvg_fn = jax.jit(jax.value_and_grad(chamfer_loss_streaming, argnums=(0, 1)))
+    cvg_dt = _timed_windows(lambda i: cvg_fn(ka, kc), lambda o: o[0], 20)
+
     baseline_per_chip = 10_000.0 / 8.0
     baseline = baseline_per_chip * n_devices
     return {
@@ -213,6 +225,8 @@ def run_bench(batch: int = 256, iters: int = 60, warmup: int = 5) -> dict:
         "train_mfu_vs_bf16_peak": round(train_tflops * 1e12 / (V5E_BF16_PEAK_FLOPS * n_devices), 4),
         "train_bf16_step_ms": round(1e3 * train_bf16_dt, 3),
         "train_bf16_clouds_per_sec": round(train_batch / train_bf16_dt, 1),
+        "emd_ms_per_sample": round(1e3 * emd_dt / (10 * kb), 4),
+        "chamfer_value_and_grad_ms_b64": round(1e3 * cvg_dt / 20, 3),
     }
 
 
