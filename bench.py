@@ -195,12 +195,15 @@ def run_bench(batch: int = 256, iters: int = 60, warmup: int = 5) -> dict:
     from hyperpocket_tpu.ops.pallas_nn import chamfer_loss_streaming
 
     kb = 64
+    # window sizes picked so each window is >~1 s, amortizing the ~29 ms
+    # tunnel fetch floor per the methodology note at the top of this file
+    emd_iters, cvg_iters = 60, 100
     ka = jnp.asarray(rng.standard_normal((kb, 2048, 3)), jnp.float32) * 0.3
     kc = jnp.asarray(rng.standard_normal((kb, 2048, 3)), jnp.float32) * 0.3
     emd_fn = jax.jit(match_cost)
-    emd_dt = _timed_windows(lambda i: emd_fn(ka, kc), lambda o: jnp.sum(o), 10)
+    emd_dt = _timed_windows(lambda i: emd_fn(ka, kc), lambda o: jnp.sum(o), emd_iters)
     cvg_fn = jax.jit(jax.value_and_grad(chamfer_loss_streaming, argnums=(0, 1)))
-    cvg_dt = _timed_windows(lambda i: cvg_fn(ka, kc), lambda o: o[0], 20)
+    cvg_dt = _timed_windows(lambda i: cvg_fn(ka, kc), lambda o: o[0], cvg_iters)
 
     baseline_per_chip = 10_000.0 / 8.0
     baseline = baseline_per_chip * n_devices
@@ -225,8 +228,8 @@ def run_bench(batch: int = 256, iters: int = 60, warmup: int = 5) -> dict:
         "train_mfu_vs_bf16_peak": round(train_tflops * 1e12 / (V5E_BF16_PEAK_FLOPS * n_devices), 4),
         "train_bf16_step_ms": round(1e3 * train_bf16_dt, 3),
         "train_bf16_clouds_per_sec": round(train_batch / train_bf16_dt, 1),
-        "emd_ms_per_sample": round(1e3 * emd_dt / (10 * kb), 4),
-        "chamfer_value_and_grad_ms_b64": round(1e3 * cvg_dt / 20, 3),
+        "emd_ms_per_sample": round(1e3 * emd_dt / (emd_iters * kb), 4),
+        "chamfer_value_and_grad_ms_b64": round(1e3 * cvg_dt / cvg_iters, 3),
     }
 
 

@@ -113,7 +113,7 @@ def _pick_group(b: int, n: int) -> int:
 
 
 @functools.partial(jax.jit, static_argnames=("tile_r", "interpret"))
-def trunk_pooled(conv_params: list, x: jax.Array, *, tile_r: int = 512,
+def trunk_pooled(conv_params: list, x: jax.Array, *, tile_r: int | None = None,
                  interpret: bool = False) -> jax.Array:
     """Fused trunk + max-pool: x (B, N, 3) -> pooled features (B, 512).
 
@@ -121,9 +121,11 @@ def trunk_pooled(conv_params: list, x: jax.Array, *, tile_r: int = 512,
     Equivalent to ``max over points of the 5-layer pointwise stack`` —
     models/encoder.py:42-50 up to (excluding) the fc layer.
 
-    Dispatch: whole clouds whose rows fit the VMEM budget run through the
-    grouped kernel (G clouds per grid step, no running-max scratch); larger
-    clouds stream row tiles through the original kernel.
+    Dispatch: with ``tile_r=None`` (the default), whole clouds whose rows
+    fit the VMEM budget run through the grouped kernel (G clouds per grid
+    step, no running-max scratch) and anything larger streams 512-row
+    tiles. Passing an explicit ``tile_r`` always selects the row-tiled
+    kernel with that tile — the tuning knob stays live.
     """
     b, n, _ = x.shape
     if n % 8:
@@ -136,7 +138,7 @@ def trunk_pooled(conv_params: list, x: jax.Array, *, tile_r: int = 512,
     flat2d = [a if a.ndim == 2 else a[None, :] for a in flat]
 
     g = _pick_group(b, n)
-    if g * n <= _GROUP_ROW_BUDGET:
+    if tile_r is None and g * n <= _GROUP_ROW_BUDGET:
         rep = lambda i: (0, 0)
         w_specs = []
         for arr in flat:
@@ -156,7 +158,7 @@ def trunk_pooled(conv_params: list, x: jax.Array, *, tile_r: int = 512,
         )(x, *flat2d)
         return out[:, 0, :]
 
-    tile_r = min(tile_r, n)
+    tile_r = min(tile_r or 512, n)
     while n % tile_r:
         tile_r //= 2
     if tile_r < 8:

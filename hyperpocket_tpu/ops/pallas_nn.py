@@ -496,13 +496,15 @@ def _use_interpret() -> bool:
 def _nn_forward_pallas(a: jax.Array, b: jax.Array):
     interpret = _use_interpret()
     n, m = a.shape[1], b.shape[1]
-    if n != m and m % 128 == 0 and _fused_tile_n(n, m) is not None:
+    fused_tn = _fused_tile_n(n, m) if n != m and m % 128 == 0 else None
+    if fused_tn is not None and fused_tn >= 256:
         # asymmetric clouds: the fused single-pass kernel wins (1.87 ms vs
         # 2.42 at N=2048 M=1024, B=64) because it computes each distance
         # tile once for both directions; at square shapes two launches are
         # at parity or slightly ahead, so they stay the default there.
         # _fused_tile_n also rejects key clouds whose (M, 128) planes would
-        # not fit VMEM — those stream through the two-launch path below.
+        # not fit VMEM, and shapes that only fit a 128-wide query tile
+        # (a measured loser — grid overhead) stream through two launches.
         return _nn_fused_planes(a, b, interpret=interpret)
     dist1, idx1 = _nn_one_direction(a, b, interpret=interpret)
     dist2, idx2 = _nn_one_direction(b, a, interpret=interpret)
@@ -558,6 +560,15 @@ def chamfer_loss_auto(gts: jax.Array, preds: jax.Array) -> jax.Array:
     return chamfer_loss(gts, preds)
 
 
+def _use_streaming(n: int, m: int) -> bool:
+    """Single place for the metric-pipeline dispatch policy: the streaming
+    kernel on real TPU hardware with lane-aligned point counts; the XLA
+    matrix forms elsewhere (off-TPU, interpret mode would be slower than
+    XLA on CPU — unlike ``chamfer_loss_auto``, whose interpret path IS the
+    CPU test coverage for the training loss)."""
+    return jax.default_backend() == "tpu" and pallas_shapes_ok(n, m)
+
+
 def nn_distance_auto(a: jax.Array, b: jax.Array):
     """``nn_distance`` via the streaming kernel on TPU-aligned shapes.
 
@@ -565,7 +576,7 @@ def nn_distance_auto(a: jax.Array, b: jax.Array):
     without the (B, N, M) HBM matrix — the dispatch the metric pipelines
     (eval/evaluation.py, eval/metrics.py) go through.
     """
-    if jax.default_backend() == "tpu" and pallas_shapes_ok(a.shape[1], b.shape[1]):
+    if _use_streaming(a.shape[1], b.shape[1]):
         return nn_distance_pallas(a, b)
     from hyperpocket_tpu.ops.chamfer import nn_distance
 
@@ -575,7 +586,7 @@ def nn_distance_auto(a: jax.Array, b: jax.Array):
 def chamfer_per_cloud_auto(x: jax.Array, y: jax.Array) -> jax.Array:
     """``chamfer_per_cloud`` (mean-of-min both directions, per cloud) via the
     streaming kernel on TPU-aligned shapes; XLA matrix form elsewhere."""
-    if jax.default_backend() == "tpu" and pallas_shapes_ok(x.shape[1], y.shape[1]):
+    if _use_streaming(x.shape[1], y.shape[1]):
         d1, _, d2, _ = nn_distance_pallas(x, y)
         return jnp.mean(d1, axis=1) + jnp.mean(d2, axis=1)
     from hyperpocket_tpu.ops.chamfer import chamfer_per_cloud
@@ -586,8 +597,8 @@ def chamfer_per_cloud_auto(x: jax.Array, y: jax.Array) -> jax.Array:
 def directed_hausdorff_auto(a: jax.Array, b: jax.Array) -> jax.Array:
     """``directed_hausdorff`` (max over a of sqrt NN-dist into b) via the
     streaming kernel on TPU-aligned shapes (UHD's inner op)."""
-    if jax.default_backend() == "tpu" and pallas_shapes_ok(a.shape[1], b.shape[1]):
-        dist, _ = _nn_one_direction(a, b, interpret=_use_interpret())
+    if _use_streaming(a.shape[1], b.shape[1]):
+        dist, _ = _nn_one_direction(a, b, interpret=False)
         return jnp.max(jnp.sqrt(jnp.maximum(dist, 0.0)), axis=1)
     from hyperpocket_tpu.ops.chamfer import directed_hausdorff
 

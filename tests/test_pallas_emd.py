@@ -69,9 +69,11 @@ def test_cached_and_streaming_scaffolding_agree(clouds, monkeypatch):
     budget = pe._EMD_CACHE_BUDGET_BYTES
     try:
         pe._EMD_CACHE_BUDGET_BYTES = 0  # force the streaming fallback
-        # different tile_n -> fresh trace that re-reads the budget
+        # a DIFFERENT static arg each -> fresh trace that re-reads the budget
+        # (tile_n=256 for the bwd would be a jit cache HIT on the cached
+        # trace — review finding: the comparison was cached-vs-itself)
         stream_f = np.asarray(pe.match_cost_pallas_fwd(x, y, tile_n=128, interpret=True))
-        stream_g = jax.device_get(pe.match_cost_pallas_bwd(x, y, tile_n=256, interpret=True))
+        stream_g = jax.device_get(pe.match_cost_pallas_bwd(x, y, tile_m=64, interpret=True))
     finally:
         pe._EMD_CACHE_BUDGET_BYTES = budget
     np.testing.assert_allclose(cached_f, stream_f, rtol=1e-5)

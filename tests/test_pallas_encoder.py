@@ -38,7 +38,8 @@ def test_encoder_forward_fast_path_shapes():
 
 
 def test_grouped_and_tiled_kernels_agree():
-    """The grouped whole-cloud kernel must match the row-tiled streaming one."""
+    """The grouped whole-cloud kernel (tile_r=None auto) must match the
+    row-tiled streaming one (selected by any explicit tile_r)."""
     import hyperpocket_tpu.ops.pallas_encoder as pe
 
     params = jax.tree_util.tree_map(lambda a: a.astype(jnp.bfloat16), _params())
@@ -46,12 +47,7 @@ def test_grouped_and_tiled_kernels_agree():
     x = (jnp.asarray(np.random.default_rng(2).standard_normal((6, 160, 3)),
                      jnp.float32) * 0.3).astype(jnp.bfloat16)
     grouped = pe.trunk_pooled(conv, x, interpret=True)
-    budget = pe._GROUP_ROW_BUDGET
-    try:
-        pe._GROUP_ROW_BUDGET = 1  # force the row-tiled fallback
-        tiled = pe.trunk_pooled(conv, x, tile_r=32, interpret=True)
-    finally:
-        pe._GROUP_ROW_BUDGET = budget
+    tiled = pe.trunk_pooled(conv, x, tile_r=32, interpret=True)
     np.testing.assert_array_equal(np.asarray(grouped, np.float32),
                                   np.asarray(tiled, np.float32))
 

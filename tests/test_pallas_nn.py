@@ -137,11 +137,12 @@ def test_fused_planes_tile_not_dividing_by_128_regression():
 def test_dispatch_falls_back_when_fused_unsupported():
     """N=384 M=16384: fused kernel planes would bust even the raised VMEM
     working-set budget; the dispatch must stream through two launches
-    instead of raising (review finding). (M=8192 is now WITHIN budget —
-    the round-3 vmem_limit raise extended the fused range.)"""
+    instead of raising (review finding). M=8192 fits the raised budget but
+    only at a 128-wide query tile — a measured loser — so the DISPATCH
+    (tile >= 256 policy) still streams it through two launches."""
     from hyperpocket_tpu.ops.pallas_nn import _fused_tile_n
 
-    assert _fused_tile_n(384, 8192) == 128  # extended range: supported now
+    assert _fused_tile_n(384, 8192) == 128  # capability exists...
     assert _fused_tile_n(384, 16384) is None
     rng = np.random.default_rng(18)
     x = jnp.asarray((rng.standard_normal((1, 384, 3)) * 0.3).astype(np.float32))

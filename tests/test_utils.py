@@ -180,10 +180,14 @@ def test_compile_cache_writes_entries(tmp_path, monkeypatch):
     # jax builds its cache instance once per process: if an earlier test
     # already initialised it (e.g. through Trainer), redirecting
     # jax_compilation_cache_dir would not re-point the live instance and
-    # this test's entries would land in the old directory. Reset it.
-    from jax._src import compilation_cache as jax_cc
+    # this test's entries would land in the old directory. Reset it (the
+    # reset hook is private jax API — skip rather than fail if it moves).
+    try:
+        from jax._src import compilation_cache as jax_cc
 
-    jax_cc.reset_cache()
+        jax_cc.reset_cache()
+    except (ImportError, AttributeError):
+        pytest.skip("jax compilation-cache reset hook unavailable")
     cache_dir = str(tmp_path / "jax_cache")
     assert compile_cache.enable_compile_cache(cache_dir) == cache_dir
     # idempotent: a second call (even with another dir) keeps the first
