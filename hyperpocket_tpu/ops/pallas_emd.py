@@ -160,22 +160,36 @@ def _emd_rounds_cached(x_ref, y_ref, remain_l, ratio_l, remain_r, ratio_r,
     remain_l[...] = jnp.full((1, n), multi_l, jnp.float32)
     remain_r[...] = jnp.full((m, 1), multi_r, jnp.float32)
 
-    for level in _LEVELS:  # 9 static rounds (approxmatch.cu:55-60)
-        def fill_kern(j, _):
-            sl = pl.ds(j * tile_n, tile_n)
-            kern_full[:, sl] = jnp.exp(level * d_full[:, sl])
-            return 0
+    def run_phase_c(j):
+        """Phase C for the level whose kern is currently in kern_full."""
+        sl = pl.ds(j * tile_n, tile_n)
+        d = d_full[:, sl]
+        w_col = kern_full[:, sl] * ratio_r[...]
+        rl = ratio_l[0:1, sl]
+        w_sum = jnp.sum(w_col, axis=0, keepdims=True) * rl
+        accumulate(d, w_col, rl, sl)
+        remain_l[0, sl] = jnp.maximum(0.0, remain_l[0, sl] - w_sum[0])
 
-        lax.fori_loop(0, nt, fill_kern, 0)
+    # Per-tile dependency analysis fuses the sweeps: phase A of level r
+    # needs only the SAME tile's remain_l after phase C of level r-1, so
+    # one sweep runs [C(r-1) -> kern(r) -> A(r)] per tile (reading the old
+    # kern before overwriting it), and only phase B needs its own read
+    # sweep (it must see ratio_l for ALL tiles). 2 sweeps per level
+    # instead of 4 (fill/A/B/C).
+    for li, level in enumerate(_LEVELS):  # 9 static rounds (approxmatch.cu:55-60)
+        run_c_prev = li > 0
 
-        def phase_a(j, _):
+        def sweep_ca(j, _, level=level, run_c_prev=run_c_prev):
+            if run_c_prev:
+                run_phase_c(j)
             sl = pl.ds(j * tile_n, tile_n)
-            suml = jnp.sum(kern_full[:, sl] * remain_r[...], axis=0,
-                           keepdims=True) + 1e-9
+            kern = jnp.exp(level * d_full[:, sl])
+            kern_full[:, sl] = kern
+            suml = jnp.sum(kern * remain_r[...], axis=0, keepdims=True) + 1e-9
             ratio_l[0, sl] = remain_l[0, sl] / suml[0]
             return 0
 
-        lax.fori_loop(0, nt, phase_a, 0)
+        lax.fori_loop(0, nt, sweep_ca, 0)
 
         pb_planes[...] = jnp.zeros((m, 128), jnp.float32)
 
@@ -192,17 +206,11 @@ def _emd_rounds_cached(x_ref, y_ref, remain_l, ratio_l, remain_r, ratio_r,
         ratio_r[...] = jnp.minimum(rr / (sumr + 1e-9), 1.0) * rr
         remain_r[...] = jnp.maximum(0.0, rr - sumr)
 
-        def phase_c(j, _):
-            sl = pl.ds(j * tile_n, tile_n)
-            d = d_full[:, sl]
-            w_col = kern_full[:, sl] * ratio_r[...]
-            rl = ratio_l[0:1, sl]
-            w_sum = jnp.sum(w_col, axis=0, keepdims=True) * rl
-            accumulate(d, w_col, rl, sl)
-            remain_l[0, sl] = jnp.maximum(0.0, remain_l[0, sl] - w_sum[0])
-            return 0
+    def last_c(j, _):
+        run_phase_c(j)
+        return 0
 
-        lax.fori_loop(0, nt, phase_c, 0)
+    lax.fori_loop(0, nt, last_c, 0)
 
 
 # cache budget for the two (M, N) fp32 VMEM buffers; v5e compiles and runs
