@@ -130,3 +130,77 @@ def test_evaluation_uhd_tmd_mmd(tmp_path):
 
     mmd = mmd_process(str(tmp_path), DS(), batch_size=8)
     assert mmd > 0
+
+
+def test_batched_process_fns_match_per_loop_oracles(tmp_path):
+    """The pair-blocked MMD and one-dispatch UHD/TMD must equal the original
+    per-(ref,chunk)/per-object host loops float-for-float."""
+    import glob
+    from os.path import join
+
+    import jax
+    import jax.numpy as jnp
+
+    from hyperpocket_tpu.eval.evaluation import (
+        chamfer_per_cloud, directed_hausdorff, minimum_matching_distance,
+        nn_distance, tmd_process, uhd_process,
+    )
+
+    rng = np.random.default_rng(42)
+    n_ref, n_s, npts = 5, 11, 64
+    refs = (rng.standard_normal((n_ref, npts, 3)) * 0.3).astype(np.float32)
+    smps = (rng.standard_normal((n_s, npts, 3)) * 0.3).astype(np.float32)
+
+    # oracle: the original per-ref/per-chunk loop
+    def oracle_mmd(sample_pcs, ref_pcs, batch_size):
+        sample_pcs = jnp.asarray(sample_pcs)
+        matched = []
+        for i in range(ref_pcs.shape[0]):
+            ref = jnp.asarray(ref_pcs[i])
+            best = min(
+                float(jnp.min(
+                    jnp.mean(d[0], axis=1) + jnp.mean(d[2], axis=1)
+                ))
+                for s in range(0, sample_pcs.shape[0], batch_size)
+                for d in [nn_distance(
+                    jnp.broadcast_to(ref[None], (sample_pcs[s:s+batch_size].shape[0],) + ref.shape),
+                    sample_pcs[s:s+batch_size],
+                )]
+            )
+            matched.append(best)
+        return float(np.mean(matched))
+
+    got, per_ref = minimum_matching_distance(smps, refs, batch_size=4)
+    assert got == pytest.approx(oracle_mmd(smps, refs, 4), rel=1e-6)
+    assert len(per_ref) == n_ref
+
+    # uhd/tmd: build a fake fixed/ dir and compare against per-object loops
+    group, n_obj = 3, 4
+    for o in range(n_obj):
+        ex = (rng.standard_normal((npts, 3)) * 0.3).astype(np.float32)
+        np.save(join(tmp_path, f"{o:03d}_existing.npy"), ex.T)
+        for g in range(group):
+            rec = (rng.standard_normal((npts, 3)) * 0.3).astype(np.float32)
+            np.save(join(tmp_path, f"{o:03d}_{g}_reconstruction.npy"), rec.T)
+
+    gen_paths = sorted(glob.glob(join(tmp_path, "*reconstruction.npy")))
+    gen = np.asarray([[np.load(gen_paths[i * group + j]).T for j in range(group)]
+                      for i in range(n_obj)], dtype=np.float32)
+    ex_paths = sorted(glob.glob(join(tmp_path, "*existing.npy")))
+    existing = np.asarray([np.load(p).T for p in ex_paths], dtype=np.float32)
+
+    uhd_oracle = float(np.mean([
+        float(jnp.mean(directed_hausdorff(
+            jnp.broadcast_to(jnp.asarray(existing[i])[None], gen[i].shape[:1] + existing[i].shape),
+            jnp.asarray(gen[i]),
+        ))) for i in range(n_obj)
+    ]))
+    assert uhd_process(str(tmp_path), group=group) == pytest.approx(uhd_oracle, rel=1e-6)
+
+    ii, jj = np.triu_indices(group, 1)
+    tmd_oracle = float(np.mean([
+        float(jnp.sum(chamfer_per_cloud(jnp.asarray(gen[i][ii]), jnp.asarray(gen[i][jj])))
+              * 2.0 / (group - 1))
+        for i in range(n_obj)
+    ]))
+    assert tmd_process(str(tmp_path), group=group) == pytest.approx(tmd_oracle, rel=1e-6)
