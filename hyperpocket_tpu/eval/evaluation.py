@@ -30,6 +30,7 @@ from hyperpocket_tpu.ops.pallas_nn import (
     chamfer_per_cloud_auto as _chamfer_per_cloud,
     directed_hausdorff_auto as directed_hausdorff,
     nn_distance_auto as nn_distance,
+    nn_min_dists,
 )
 
 # jitted for host-loop callers (eager dispatch is slow over the axon tunnel);
@@ -61,7 +62,7 @@ def minimum_matching_distance(sample_pcs: np.ndarray, ref_pcs: np.ndarray, batch
         r, s = refs.shape[0], chunk.shape[0]
         refs_b = jnp.broadcast_to(refs[:, None], (r, s, n_pts, dim)).reshape(r * s, n_pts, dim)
         chunk_b = jnp.broadcast_to(chunk[None], (r, s, n_pts, dim)).reshape(r * s, n_pts, dim)
-        d_ref_to_s, _, d_s_to_ref, _ = nn_distance(refs_b, chunk_b)
+        d_ref_to_s, d_s_to_ref = nn_min_dists(refs_b, chunk_b)  # argmins unused
         cd = jnp.mean(d_ref_to_s, axis=1) + jnp.mean(d_s_to_ref, axis=1)
         return jnp.min(cd.reshape(r, s), axis=1)
 

@@ -132,6 +132,116 @@ def _nn_one_direction(q: jax.Array, k: jax.Array, *, tile_n: int = 2048,
     return dist[:, 0, :], idx[:, 0, :]
 
 
+def _nn_min_fused_kernel(q_ref, k_ref, dist1_ref, dist2_ref, kmin, *,
+                         tile_n: int):
+    """Both-direction NN DISTANCES only — no argmin bookkeeping.
+
+    The loss value, the val epochs, and the metric pipelines (MMD inner op,
+    chamfer_per_cloud, directed Hausdorff) never read the indices; dropping
+    them removes the int select chains and the (M, 128) index planes that
+    made the fused single-pass kernel lose to two launches. Measured (v5e,
+    B=64, within one process): N=M=2048 1.53 ms vs 2.15 for two full
+    launches (1.41x — and unlike the full fused kernel, the min-only single
+    pass wins at SQUARE shapes too); N=2048/M=1024 1.22 vs 1.49 (1.22x,
+    fused-full 1.55).
+    """
+    m = k_ref.shape[1]
+    j = pl.program_id(1)
+    nt = pl.num_programs(1)
+    keys = k_ref[0]  # (M, 3)
+    d = jnp.zeros((m, tile_n), jnp.float32)
+    for c in range(3):
+        diff = keys[:, c : c + 1] - q_ref[0, c : c + 1, :]
+        d += diff * diff
+    dist1_ref[0, 0, :] = jnp.min(d, axis=0)
+    for c4 in range(tile_n // 128):
+        dc = d[:, c4 * 128 : (c4 + 1) * 128]
+        tile_min = dc if c4 == 0 else jnp.minimum(tile_min, dc)
+
+    @pl.when(j == 0)
+    def _():
+        kmin[...] = tile_min
+
+    @pl.when(j > 0)
+    def _():
+        kmin[...] = jnp.minimum(kmin[...], tile_min)
+
+    @pl.when(j == nt - 1)
+    def _():
+        dist2_ref[0, :, :] = jnp.min(kmin[...], axis=1, keepdims=True)
+
+
+@functools.partial(jax.jit, static_argnames=("tile_n", "interpret"))
+def _nn_min_fused(q: jax.Array, k: jax.Array, *, tile_n: int = 1024,
+                  interpret: bool = False):
+    """(dist1 (B, N), dist2 (B, M)) — min distances both directions."""
+    b, n, _ = q.shape
+    m = k.shape[1]
+    tile_n = _fused_tile_n(n, m, tile_n)
+    if tile_n is None:
+        raise ValueError(
+            f"shapes N={n} M={m} unsupported by the fused min kernel"
+        )
+    qt = jnp.transpose(q, (0, 2, 1))
+    kernel = functools.partial(_nn_min_fused_kernel, tile_n=tile_n)
+    params = {}
+    working_set = m * (tile_n * 8 + 512) + 8 * 1024 * 1024
+    if working_set > 16 * 1024 * 1024:
+        params["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=working_set
+        )
+    dist1, dist2 = pl.pallas_call(
+        kernel,
+        grid=(b, n // tile_n),
+        in_specs=[
+            pl.BlockSpec((1, 3, tile_n), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m, 3), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, tile_n), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m, 1), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, 1, n), jnp.float32),
+            jax.ShapeDtypeStruct((b, m, 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((m, 128), jnp.float32),  # key-min planes
+        ],
+        interpret=interpret,
+        **params,
+    )(qt, k)
+    return dist1[:, 0, :], dist2[:, :, 0]
+
+
+def _nn_min_forward(a: jax.Array, b: jax.Array):
+    """Streaming min-only distances (both directions); shapes pre-checked."""
+    interpret = _use_interpret()
+    n, m = a.shape[1], b.shape[1]
+    tn = _fused_tile_n(n, m) if m % 128 == 0 else None
+    if tn is not None and (tn >= 256 or interpret):
+        return _nn_min_fused(a, b, interpret=interpret)
+    d1, _, d2, _ = _nn_forward_pallas(a, b)
+    return d1, d2
+
+
+def nn_min_dists(a: jax.Array, b: jax.Array):
+    """(dist1 (B, N), dist2 (B, M)): NN squared distances WITHOUT indices.
+
+    The fast path for every consumer that discards the argmins (loss
+    values, val epochs, MMD/TMD/UHD inner ops). Dispatch: the fused
+    min-only single pass when shapes allow, else the two-launch kernels
+    (indices computed then dropped), else the XLA matrix form off-TPU or
+    on unaligned shapes.
+    """
+    if _use_streaming(a.shape[1], b.shape[1]):
+        return _nn_min_forward(a, b)
+    from hyperpocket_tpu.ops.chamfer import nn_distance
+
+    d1, _, d2, _ = nn_distance(a, b)
+    return d1, d2
+
+
 def _nn_fused_planes_kernel(q_ref, k_ref, dist1_ref, idx1_ref, dist2_ref,
                             idx2_ref, kmin, kidx, *, tile_n: int):
     """Fused both-direction NN with (M, 128)-plane key bookkeeping.
@@ -532,6 +642,7 @@ def _bwd(res, grads):
 nn_distance_pallas.defvjp(_fwd, _bwd)
 
 
+@jax.custom_vjp
 def chamfer_loss_streaming(gts: jax.Array, preds: jax.Array) -> jax.Array:
     """Reference ChamferLoss semantics via the streaming kernel.
 
@@ -540,9 +651,32 @@ def chamfer_loss_streaming(gts: jax.Array, preds: jax.Array) -> jax.Array:
     matrix and backprops through gather/scatter instead of a (B, N, M) mask.
     (Gradients differ from the pure version only at near-tied argmins, where
     both are valid subgradients.)
+
+    The PRIMAL (val epochs, eval loss calls — anything not differentiated)
+    runs the min-only kernel: no argmin bookkeeping, which is the dominant
+    per-element cost of the full kernel. Under ``grad`` the fwd rule runs
+    the index-carrying kernels instead (the backward's gather/scatter needs
+    the argmins); distances are identical either way.
     """
-    d_gt, _, d_pred, _ = nn_distance_pallas(gts, preds)
+    d_gt, d_pred = _nn_min_forward(gts, preds)
     return jnp.sum(d_gt) + jnp.sum(d_pred)
+
+
+def _cls_fwd(gts, preds):
+    d_gt, i1, d_pred, i2 = _nn_forward_pallas(gts, preds)
+    return jnp.sum(d_gt) + jnp.sum(d_pred), (gts, preds, i1, i2)
+
+
+def _cls_bwd(res, g):
+    from hyperpocket_tpu.ops.chamfer import _nn_bwd
+
+    gts, preds, i1, i2 = res
+    g1 = jnp.broadcast_to(g, i1.shape).astype(gts.dtype)
+    g2 = jnp.broadcast_to(g, i2.shape).astype(preds.dtype)
+    return _nn_bwd((gts, preds, i1, i2), (g1, None, g2, None))
+
+
+chamfer_loss_streaming.defvjp(_cls_fwd, _cls_bwd)
 
 
 def pallas_shapes_ok(n: int, m: int) -> bool:
@@ -585,9 +719,10 @@ def nn_distance_auto(a: jax.Array, b: jax.Array):
 
 def chamfer_per_cloud_auto(x: jax.Array, y: jax.Array) -> jax.Array:
     """``chamfer_per_cloud`` (mean-of-min both directions, per cloud) via the
-    streaming kernel on TPU-aligned shapes; XLA matrix form elsewhere."""
+    min-only streaming kernel on TPU-aligned shapes; XLA matrix form
+    elsewhere."""
     if _use_streaming(x.shape[1], y.shape[1]):
-        d1, _, d2, _ = nn_distance_pallas(x, y)
+        d1, d2 = _nn_min_forward(x, y)
         return jnp.mean(d1, axis=1) + jnp.mean(d2, axis=1)
     from hyperpocket_tpu.ops.chamfer import chamfer_per_cloud
 
@@ -596,9 +731,9 @@ def chamfer_per_cloud_auto(x: jax.Array, y: jax.Array) -> jax.Array:
 
 def directed_hausdorff_auto(a: jax.Array, b: jax.Array) -> jax.Array:
     """``directed_hausdorff`` (max over a of sqrt NN-dist into b) via the
-    streaming kernel on TPU-aligned shapes (UHD's inner op)."""
+    min-only streaming kernel on TPU-aligned shapes (UHD's inner op)."""
     if _use_streaming(a.shape[1], b.shape[1]):
-        dist, _ = _nn_one_direction(a, b, interpret=False)
+        dist, _ = _nn_min_forward(a, b)
         return jnp.max(jnp.sqrt(jnp.maximum(dist, 0.0)), axis=1)
     from hyperpocket_tpu.ops.chamfer import directed_hausdorff
 
