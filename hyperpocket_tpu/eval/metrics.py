@@ -167,12 +167,18 @@ def entropy_of_occupancy_grid(pclouds, grid_resolution: int, in_sphere: bool = F
         grid_counters[uniq] += counts
         grid_bernoulli_rvars[uniq] += 1
 
-    acc_entropy = 0.0
     n = float(len(pclouds))
     occupied = grid_bernoulli_rvars[grid_bernoulli_rvars > 0]
-    for g in occupied:
-        p = g / n
-        acc_entropy += entropy([p, 1.0 - p])
+    # vectorized Bernoulli entropy: the reference loops scipy.stats.entropy
+    # per occupied cell (metrics.py:283-287), ~0.5 ms of scipy overhead per
+    # call x thousands of cells = seconds per JSD evaluation. Same formula:
+    # H(p) = -(p ln p + (1-p) ln(1-p)), with 0 ln 0 := 0.
+    p = occupied / n
+    q = 1.0 - p
+    with np.errstate(divide="ignore", invalid="ignore"):
+        h = -(np.where(p > 0, p * np.log(p), 0.0)
+              + np.where(q > 0, q * np.log(q), 0.0))
+    acc_entropy = float(np.sum(h))
     return acc_entropy / len(grid_counters), grid_counters
 
 
