@@ -84,10 +84,17 @@ def test_tp_sharding_rules():
 
 
 def test_dp_tp_full_step_executes():
-    """4x2 data x model mesh: forward+backward+update runs and is finite."""
-    from __graft_entry__ import dryrun_multichip
+    """4x2 data x model mesh: forward+backward+update runs and is finite.
 
-    dryrun_multichip(8)
+    Runs in a FRESH subprocess (the driver's self-provisioning path):
+    executing the donated 8-device step in-process aborts ~50% of the time
+    when it lands late in a long-lived full-suite pytest run (XLA CPU
+    runtime SIGABRT inside block_until_ready with no Python exception;
+    passes reliably in a fresh process — both standalone and here).
+    """
+    from __graft_entry__ import _dryrun_in_cpu_subprocess
+
+    _dryrun_in_cpu_subprocess(8)
 
 
 def test_mesh_validation():
