@@ -139,32 +139,39 @@ def _trunk(params: dict, x: jax.Array, *, fast: bool = False) -> jax.Array:
     return jax.nn.relu(apply_dense(params["fc"], pooled))
 
 
-def reparameterize(key: jax.Array, mu: jax.Array, raw_std: jax.Array) -> jax.Array:
+def reparameterize(key: jax.Array | None, mu: jax.Array, raw_std: jax.Array,
+                   eps: jax.Array | None = None) -> jax.Array:
     """z = eps * exp(raw_std) + mu (reference encoder.py:38-41).
 
     eps is always drawn in fp32 then cast: bf16 normal sampling would draw
     *different* values (not rounded fp32 ones), making the mixed-precision
-    mode non-comparable to fp32 under the same key.
+    mode non-comparable to fp32 under the same key. An explicit ``eps``
+    overrides the draw — the deterministic-injection hook used by the
+    cross-framework trajectory-parity tests.
     """
-    eps = jax.random.normal(key, mu.shape, jnp.float32).astype(mu.dtype)
+    if eps is None:
+        eps = jax.random.normal(key, mu.shape, jnp.float32)
+    eps = jnp.asarray(eps).astype(mu.dtype)
     return eps * jnp.exp(raw_std) + mu
 
 
 def encoder_forward(params: dict, x: jax.Array, *, is_vae: bool,
-                    key: jax.Array | None = None, fast: bool = False):
+                    key: jax.Array | None = None, fast: bool = False,
+                    eps: jax.Array | None = None):
     """Forward pass.
 
     Returns ``mu`` (B, Z) when not VAE; else ``(z, mu, sigma)`` where
     ``sigma = exp(std_head(x))`` — mirroring the reference's return of
     ``torch.exp(logvar)`` as the third value (encoder.py:47-51).
-    ``fast`` selects the fused no-grad trunk kernel (inference only).
+    ``fast`` selects the fused no-grad trunk kernel (inference only);
+    ``eps`` injects the reparameterisation noise deterministically.
     """
     logit = _trunk(params, x, fast=fast)
     mu = apply_dense(params["mu"], logit)
     if not is_vae:
         return mu
     raw_std = apply_dense(params["std"], logit)
-    if key is None:
-        raise ValueError("VAE encoder forward requires a PRNG key")
-    z = reparameterize(key, mu, raw_std)
+    if key is None and eps is None:
+        raise ValueError("VAE encoder forward requires a PRNG key or explicit eps")
+    z = reparameterize(key, mu, raw_std, eps=eps)
     return z, mu, jnp.exp(raw_std)

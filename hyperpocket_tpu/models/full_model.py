@@ -133,25 +133,27 @@ class FullModel:
         return params
 
     # ------------------------------------------------------------------
-    def _get_latent(self, params, existing, missing, key, training, noise):
+    def _get_latent(self, params, existing, missing, key, training, noise, eps=None):
         """Mode-specific latent composition (full_model.py:98-152).
 
         Inference (``not training``) dispatches the encoder trunks to the
         fused Pallas kernel — no gradients flow there, and the headline
-        completion path is encoder-dominated.
+        completion path is encoder-dominated. ``eps`` injects the VAE
+        reparameterisation noise deterministically (parity tests).
         """
         mode = self.mode
         fast = not training
         if mode == MODE_HYPER_POCKET:
             if training:
                 z, mu, sigma = encoder_forward(
-                    params["random_encoder"], missing, is_vae=True, key=key
+                    params["random_encoder"], missing, is_vae=True, key=key, eps=eps
                 )
                 real_mu = encoder_forward(params["real_encoder"], existing, is_vae=False)
                 return jnp.concatenate([z, real_mu], axis=1), mu, sigma
             if noise is None:
                 _, random_mu, _ = encoder_forward(
-                    params["random_encoder"], missing, is_vae=True, key=key, fast=fast
+                    params["random_encoder"], missing, is_vae=True, key=key, fast=fast,
+                    eps=eps,
                 )
             else:
                 random_mu = noise
@@ -167,10 +169,13 @@ class FullModel:
             )
         # HyperCloud: the VAE encoder runs on *existing* (full_model.py:136-148)
         if training:
-            return encoder_forward(params["random_encoder"], existing, is_vae=True, key=key)
+            return encoder_forward(
+                params["random_encoder"], existing, is_vae=True, key=key, eps=eps
+            )
         if noise is None:
             _, random_mu, _ = encoder_forward(
-                params["random_encoder"], existing, is_vae=True, key=key, fast=fast
+                params["random_encoder"], existing, is_vae=True, key=key, fast=fast,
+                eps=eps,
             )
             return random_mu, None, None
         return noise, None, None
@@ -207,6 +212,8 @@ class FullModel:
         num_output_points: int = 2048,
         training: bool = True,
         noise: jax.Array | None = None,
+        vae_eps: jax.Array | None = None,
+        ball_points: jax.Array | None = None,
     ):
         """Forward pass.
 
@@ -216,6 +223,12 @@ class FullModel:
         exactly as the reference's third encoder output (the reference
         returns (rec, sigma, mu); we use (rec, mu, sigma) — kld_loss takes
         (mu, sigma)).
+
+        ``vae_eps`` (B, Z_rand) / ``ball_points`` (B, num_output_points, 3)
+        replace the two stochastic draws with caller-provided values — the
+        deterministic-injection hooks that let the trajectory-parity tests
+        feed IDENTICAL randomness to this model and the reference's torch
+        stack (which draws per-sample on the host, full_model.py:70-74).
         """
         cd = jnp.dtype(self.compute_dtype)
         if cd != jnp.dtype(jnp.float32):
@@ -233,19 +246,24 @@ class FullModel:
             noise = cast(noise)
 
         k_enc, k_pts = jax.random.split(key)
-        latent, mu, sigma = self._get_latent(params, existing, missing, k_enc, training, noise)
+        latent, mu, sigma = self._get_latent(
+            params, existing, missing, k_enc, training, noise, eps=vae_eps
+        )
         flat_weights = hyper_network_forward(
             params["hyper_network"], latent, freeze_heads=self.freeze_heads
         )
         batch = existing.shape[0]
-        pts = generate_target_network_input_batch(
-            self.target_network_input,
-            k_pts,
-            epoch,
-            batch,
-            num_output_points,
-            method=self.ball_method,
-        )
+        if ball_points is not None:
+            pts = jnp.asarray(ball_points)
+        else:
+            pts = generate_target_network_input_batch(
+                self.target_network_input,
+                k_pts,
+                epoch,
+                batch,
+                num_output_points,
+                method=self.ball_method,
+            )
         # The decode stays on the vmap'd XLA chain in BOTH modes: a fused
         # Pallas decode (ops/pallas_decoder.py) measured SLOWER (1.05-1.44 ms
         # vs 0.66-0.76 at B=256 bf16) — XLA's batched GEMM pipelines the MXU
@@ -254,11 +272,15 @@ class FullModel:
         reconstruction = batched_target_network_forward(
             flat_weights, pts.astype(cd), list(self.target_layer_out_channels), self.target_use_bias
         )
-        reconstruction = reconstruction.astype(jnp.float32)
+        # loss-path dtype: sub-fp32 compute modes (bf16/fp16) hand fp32 to
+        # the loss; fp32/fp64 stay as computed (fp64 is the trajectory-parity
+        # debugging mode — downcasting would defeat it)
+        out_dtype = cd if jnp.finfo(cd).bits >= 32 else jnp.dtype(jnp.float32)
+        reconstruction = reconstruction.astype(out_dtype)
         if training:
             if mu is not None:
-                mu = mu.astype(jnp.float32)
+                mu = mu.astype(out_dtype)
             if sigma is not None:
-                sigma = sigma.astype(jnp.float32)
+                sigma = sigma.astype(out_dtype)
             return reconstruction, mu, sigma
         return reconstruction

@@ -29,6 +29,50 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# ---------------------------------------------------------------------------
+# VMEM working-set budget model. Every tile-size decision and
+# ``vmem_limit_bytes`` request flows through these constants — they are
+# v5e-PROBED heuristics, not queried hardware limits:
+# * Mosaic's scoped-vmem default stack is 16 MB on current generations;
+# * physical VMEM is 128 MB/core on v4/v5e/v5p (a 120 MB scratch compiled
+#   and ran on v5e — probe in git history); _VMEM_REQUEST_CAP keeps margin;
+# * _VMEM_HEADROOM covers temporaries the per-kernel estimates miss.
+# A shape whose true Mosaic allocation still exceeds an estimate fails at
+# compile time; ``_retry_smaller_tiles`` catches that in the dispatch
+# wrappers and retries with halved query tiles before surfacing.
+_VMEM_SCOPED_DEFAULT = 16 * 1024 * 1024
+_VMEM_HEADROOM = 8 * 1024 * 1024
+_VMEM_REQUEST_CAP = 100 * 1024 * 1024
+_VMEM_FUSED_BUDGET = 24 * 1024 * 1024      # fused dist+idx kernel planning
+_VMEM_FUSED_GRAD_BUDGET = 8 * 1024 * 1024  # fused loss+grad kernel planning
+
+
+def _vmem_params(working_set: int) -> dict:
+    """compiler_params kwargs raising the scoped-VMEM limit when needed."""
+    if working_set > _VMEM_SCOPED_DEFAULT:
+        return {
+            "compiler_params": pltpu.CompilerParams(
+                vmem_limit_bytes=min(working_set, _VMEM_REQUEST_CAP)
+            )
+        }
+    return {}
+
+
+def _is_vmem_error(exc: BaseException) -> bool:
+    return "vmem" in str(exc).lower()
+
+
+def _retry_smaller_tiles(call, tile_n: int, min_tile: int = 128):
+    """call(tile_n) with halved-tile retries on Mosaic VMEM compile errors."""
+    while True:
+        try:
+            return call(tile_n)
+        except Exception as exc:  # Mosaic raises backend-specific types
+            if tile_n > min_tile and _is_vmem_error(exc):
+                tile_n //= 2
+                continue
+            raise
+
 
 def _nn_one_direction_kernel(q_ref, k_ref, dist_ref, idx_ref, run_min, run_idx,
                              *, tile_m: int):
@@ -100,13 +144,8 @@ def _nn_one_direction(q: jax.Array, k: jax.Array, *, tile_n: int = 2048,
     qt = jnp.transpose(q, (0, 2, 1))  # (B, 3, N): queries lane-oriented
     grid = (b, n // tile_n, m // tile_m)
     kernel = functools.partial(_nn_one_direction_kernel, tile_m=tile_m)
-    params = {}
-    # ~3 live (TILE_M, TILE_N) fp32 temps (d + diff + select); headroom 8 MB
-    working_set = 3 * tile_m * tile_n * 4 + 8 * 1024 * 1024
-    if working_set > 16 * 1024 * 1024:
-        params["compiler_params"] = pltpu.CompilerParams(
-            vmem_limit_bytes=working_set
-        )
+    # ~3 live (TILE_M, TILE_N) fp32 temps (d + diff + select)
+    params = _vmem_params(3 * tile_m * tile_n * 4 + _VMEM_HEADROOM)
     dist, idx = pl.pallas_call(
         kernel,
         grid=grid,
@@ -184,12 +223,7 @@ def _nn_min_fused(q: jax.Array, k: jax.Array, *, tile_n: int = 1024,
         )
     qt = jnp.transpose(q, (0, 2, 1))
     kernel = functools.partial(_nn_min_fused_kernel, tile_n=tile_n)
-    params = {}
-    working_set = m * (tile_n * 8 + 512) + 8 * 1024 * 1024
-    if working_set > 16 * 1024 * 1024:
-        params["compiler_params"] = pltpu.CompilerParams(
-            vmem_limit_bytes=working_set
-        )
+    params = _vmem_params(m * (tile_n * 8 + 512) + _VMEM_HEADROOM)
     dist1, dist2 = pl.pallas_call(
         kernel,
         grid=(b, n // tile_n),
@@ -220,7 +254,14 @@ def _nn_min_forward(a: jax.Array, b: jax.Array):
     n, m = a.shape[1], b.shape[1]
     tn = _fused_tile_n(n, m) if m % 128 == 0 else None
     if tn is not None and (tn >= 256 or interpret):
-        return _nn_min_fused(a, b, interpret=interpret)
+        try:
+            return _retry_smaller_tiles(
+                lambda t: _nn_min_fused(a, b, tile_n=t, interpret=interpret),
+                tn, min_tile=256 if not interpret else 128,
+            )
+        except Exception as exc:
+            if not _is_vmem_error(exc):
+                raise  # fall through to the two-launch path on VMEM misses
     d1, _, d2, _ = _nn_forward_pallas(a, b)
     return d1, d2
 
@@ -326,7 +367,7 @@ def _fused_tile_n(n: int, m: int, tile_n: int = 1024) -> int | None:
     tn = min(tile_n, n)
     tn -= tn % 128
     while tn >= 128:
-        if n % tn == 0 and m * (tn * 8 + 1024) <= 24 * 1024 * 1024:
+        if n % tn == 0 and m * (tn * 8 + 1024) <= _VMEM_FUSED_BUDGET:
             return tn
         tn -= 128
     return None
@@ -347,12 +388,7 @@ def _nn_fused_planes(q: jax.Array, k: jax.Array, *, tile_n: int = 1024,
         )
     qt = jnp.transpose(q, (0, 2, 1))
     kernel = functools.partial(_nn_fused_planes_kernel, tile_n=tile_n)
-    params = {}
-    working_set = m * (tile_n * 8 + 1024) + 8 * 1024 * 1024
-    if working_set > 16 * 1024 * 1024:
-        params["compiler_params"] = pltpu.CompilerParams(
-            vmem_limit_bytes=working_set
-        )
+    params = _vmem_params(m * (tile_n * 8 + 1024) + _VMEM_HEADROOM)
     dist1, idx1, dist2, idx2 = pl.pallas_call(
         kernel,
         grid=(b, n // tile_n),
@@ -525,7 +561,7 @@ def _loss_tile_n(n: int, m: int, tile_n: int = 256) -> int | None:
     tn = min(tile_n, n)
     tn -= tn % 128
     while tn >= 128:
-        if n % tn == 0 and m * (tn * 16 + 1024) <= 8 * 1024 * 1024:
+        if n % tn == 0 and m * (tn * 16 + 1024) <= _VMEM_FUSED_GRAD_BUDGET:
             return tn
         tn -= 128
     return None
@@ -615,9 +651,21 @@ def _nn_forward_pallas(a: jax.Array, b: jax.Array):
         # _fused_tile_n also rejects key clouds whose (M, 128) planes would
         # not fit VMEM, and shapes that only fit a 128-wide query tile
         # (a measured loser — grid overhead) stream through two launches.
-        return _nn_fused_planes(a, b, interpret=interpret)
-    dist1, idx1 = _nn_one_direction(a, b, interpret=interpret)
-    dist2, idx2 = _nn_one_direction(b, a, interpret=interpret)
+        try:
+            return _retry_smaller_tiles(
+                lambda tn: _nn_fused_planes(a, b, tile_n=tn, interpret=interpret),
+                fused_tn, min_tile=256,
+            )
+        except Exception as exc:
+            if not _is_vmem_error(exc):
+                raise
+            # budget estimate undershot the real allocation: two launches
+            # have a smaller working set and their own halved-tile retries
+    one = lambda q, k: _retry_smaller_tiles(
+        lambda tn: _nn_one_direction(q, k, tile_n=tn, interpret=interpret), 2048
+    )
+    dist1, idx1 = one(a, b)
+    dist2, idx2 = one(b, a)
     return dist1, idx1, dist2, idx2
 
 
@@ -689,7 +737,10 @@ def chamfer_loss_auto(gts: jax.Array, preds: jax.Array) -> jax.Array:
     from hyperpocket_tpu.ops.chamfer import chamfer_loss
 
     n, m = gts.shape[1], preds.shape[1]
-    if pallas_shapes_ok(n, m):
+    # the kernels are fp32-internal; fp64 (the trajectory-parity debugging
+    # mode) must keep full precision -> pure-XLA chain, which is dtype-generic
+    fp32_inputs = gts.dtype == jnp.float32 and preds.dtype == jnp.float32
+    if fp32_inputs and pallas_shapes_ok(n, m):
         return chamfer_loss_streaming(gts, preds)
     return chamfer_loss(gts, preds)
 

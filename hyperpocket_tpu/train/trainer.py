@@ -53,12 +53,14 @@ def make_train_step(model: FullModel, tx, loss_coef: float, prng_impl: str = "th
     """
 
     @partial(jax.jit, static_argnames=("num_points",), donate_argnums=(0, 1))
-    def step(params, opt_state, existing, missing, gt, key, epoch, num_points):
+    def step(params, opt_state, existing, missing, gt, key, epoch, num_points,
+             vae_eps=None, ball_points=None):
         if jnp.issubdtype(jnp.asarray(key).dtype, jnp.integer):
             key = jax.random.key(key, impl=prng_impl)
         def loss_fn(p):
             rec, mu, sigma = model.apply(
-                p, existing, missing, key, epoch, num_output_points=num_points, training=True
+                p, existing, missing, key, epoch, num_output_points=num_points, training=True,
+                vae_eps=vae_eps, ball_points=ball_points,
             )
             loss_r = reconstruction_loss(gt, rec, loss_coef)
             if model.has_generativity:
@@ -134,7 +136,12 @@ class Trainer:
         fm_cfg = dict(config["full_model"])
         fm_cfg.setdefault("compute_dtype", tr.get("compute_dtype", "float32"))
         self.model = FullModel.from_config(fm_cfg)
-        self.params = self.model.init(self.key)
+        # training.param_dtype = "float64" is the trajectory-parity debugging
+        # mode (tests/test_reference_parity.py): master params in fp64 (needs
+        # an enclosing jax.enable_x64). Production default is fp32.
+        self.params = self.model.init(
+            self.key, dtype=jnp.dtype(tr.get("param_dtype", "float32"))
+        )
 
         self.loss_coef = float(tr.get("loss_coef", 0.05))
         self.max_epoch = int(tr["max_epoch"])
@@ -217,6 +224,13 @@ class Trainer:
         self.val_losses: list[np.ndarray] = []
         self.best_epoch_loss = np.inf
         self.start_epoch = 1
+        # Deterministic-injection hook (trajectory-parity tests): a callable
+        # ``(epoch, batch_index) -> {"vae_eps": ..., "ball_points": ...}``
+        # whose arrays replace the step's stochastic draws. None in
+        # production. After each train_epoch, ``last_step_losses`` holds the
+        # per-batch (loss_all, loss_r, loss_kld) rows for that epoch.
+        self.injection_provider = None
+        self.last_step_losses: np.ndarray | None = None
         self._maybe_restore()
 
     # ------------------------------------------------------------------
@@ -294,18 +308,23 @@ class Trainer:
                 d_missing = None
             else:
                 d_existing, d_missing, d_gt = dev
+            inject = (
+                self.injection_provider(epoch, n_batches)
+                if self.injection_provider is not None
+                else {}
+            )
             self.params, self.opt_state, loss, loss_r, loss_k, rec = self.train_step(
                 self.params, self.opt_state, d_existing, d_missing, d_gt,
-                self._next_key(), ep, num_points=int(gt.shape[1]),
+                self._next_key(), ep, num_points=int(gt.shape[1]), **inject,
             )
             device_losses.append(jnp.stack([loss, loss_r, loss_k]))
             n_batches += 1
             latest = (existing, gt, rec)
-        sums = (
-            np.asarray(jnp.sum(jnp.stack(device_losses), axis=0))
-            if device_losses
-            else np.zeros(3)
+        # one device fetch per epoch; host-side reduce (tunnel-latency aware)
+        self.last_step_losses = (
+            np.asarray(jnp.stack(device_losses)) if device_losses else np.zeros((0, 3))
         )
+        sums = self.last_step_losses.sum(axis=0) if device_losses else np.zeros(3)
         if latest is not None:
             latest = (latest[0], latest[1], np.asarray(latest[2]))
         stats = EpochStats(*(sums / max(n_batches, 1)))
@@ -321,10 +340,19 @@ class Trainer:
             last = None
             for existing, missing, gt, _ in loader.epoch(epoch):
                 missing = self._prep_missing(missing, existing.shape[0])
+                # same mesh placement as the train epoch — on a DP/TP mesh
+                # val batches shard over the data axis (a multi-host mesh
+                # would otherwise fail on un-addressable default placement)
+                arrays = (existing, gt) if missing is None else (existing, missing, gt)
+                dev = self._device_batch(*arrays)
+                if missing is None:
+                    d_existing, d_gt = dev
+                    d_missing = None
+                else:
+                    d_existing, d_missing, d_gt = dev
                 loss, rec = self.val_step(
-                    self.params, jnp.asarray(existing),
-                    None if missing is None else jnp.asarray(missing),
-                    jnp.asarray(gt), self._next_key(), ep, num_points=int(gt.shape[1]),
+                    self.params, d_existing, d_missing, d_gt,
+                    self._next_key(), ep, num_points=int(gt.shape[1]),
                 )
                 device_losses.append(loss)
                 last = (existing[0], gt[0], rec)
