@@ -11,10 +11,17 @@ curve + 1) / explicit int — core/setup.py:80-101.
 Pytrees are serialised positionally: leaves in ``tree_flatten`` order into a
 single ``.npz``; restore requires a template with the same treedef, which the
 caller always has (params/opt-state are rebuilt from config before restore).
+A structure fingerprint (sha1 over the treedef repr + per-leaf shape/dtype,
+stored as ``__structure__``) guards the positional format: restoring into a
+template whose tree shape drifted (renamed keys, reordered layers, a config
+change that permutes equal-shape leaves) raises instead of silently loading
+garbage. Pre-fingerprint checkpoints (round <=2) load with the legacy
+shape-only checks.
 """
 
 from __future__ import annotations
 
+import hashlib
 import json
 import re
 from os import listdir, makedirs
@@ -26,17 +33,45 @@ import numpy as np
 _EPOCH_RE = re.compile(r"^(?P<n>\d+)_(model\.npz|model\.pth|[DEG]\.pth)$")
 
 
+def _leaf_meta(leaf) -> str:
+    shape = leaf.shape if hasattr(leaf, "shape") else np.shape(leaf)
+    dtype = leaf.dtype if hasattr(leaf, "dtype") else np.asarray(leaf).dtype
+    return f"{tuple(shape)}:{np.dtype(dtype).name}"
+
+
+def tree_fingerprint(tree) -> str:
+    """sha1 over the treedef structure and per-leaf shape/dtype (in order).
+
+    Hex addresses are scrubbed from the treedef repr so the hash is stable
+    across processes (custom-node reprs may embed object ids).
+    """
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    desc = re.sub(r"0x[0-9a-f]+", "0x", repr(treedef))
+    blob = "|".join([desc] + [_leaf_meta(leaf) for leaf in leaves])
+    return hashlib.sha1(blob.encode()).hexdigest()
+
+
 def save_tree(path: str, tree) -> None:
     # device_get fetches the whole tree in one transfer (per-leaf np.asarray
     # would round-trip the device once per leaf — seconds each on axon).
+    fingerprint = tree_fingerprint(tree)
     leaves = jax.tree_util.tree_leaves(jax.device_get(tree))
-    np.savez(path, *[np.asarray(leaf) for leaf in leaves])
+    np.savez(path, *[np.asarray(leaf) for leaf in leaves],
+             __structure__=np.asarray(fingerprint))
 
 
 def load_tree(path: str, template):
     leaves, treedef = jax.tree_util.tree_flatten(template)
     with np.load(path) as data:
-        loaded = [data[f"arr_{i}"] for i in range(len(data.files))]
+        n_leaves = sum(1 for f in data.files if f.startswith("arr_"))
+        loaded = [data[f"arr_{i}"] for i in range(n_leaves)]
+        saved_fp = str(data["__structure__"]) if "__structure__" in data.files else None
+    if saved_fp is not None and saved_fp != tree_fingerprint(template):
+        raise ValueError(
+            f"{path}: checkpoint structure fingerprint {saved_fp[:12]} does not "
+            f"match the restore template ({tree_fingerprint(template)[:12]}) — "
+            "the model/optimizer config differs from the one that saved it"
+        )
     if len(loaded) != len(leaves):
         raise ValueError(
             f"{path}: checkpoint has {len(loaded)} leaves, template has {len(leaves)}"

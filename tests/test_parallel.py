@@ -169,6 +169,42 @@ def test_trainer_dp_tp_loss_equivalence(tmp_path):
     np.testing.assert_allclose(losses["dp_tp"], losses["single"], rtol=2e-4)
 
 
+def test_trainer_dp_val_epoch_shards_and_matches(tmp_path):
+    """val_epoch places batches on the mesh (same path as train) and its
+    losses match the unsharded run — regression for the round-2 gap where
+    val bypassed _device_batch and ran with default placement."""
+    from hyperpocket_tpu.train.trainer import Trainer
+    from tests.test_data import make_synthetic_shapenet
+    from tests.test_train_integration import make_config
+
+    root = tmp_path / "data"
+    make_synthetic_shapenet(root, n_models=10, n_gt=64, n_part=32)
+    with open(root / "train.list", "w") as fh:
+        fh.write("\n".join(f"02691156/model{i:03d}" for i in range(8)))
+    with open(root / "val.list", "w") as fh:
+        fh.write("\n".join(f"02691156/model{i:03d}" for i in range(8)))
+
+    config = make_config(root, tmp_path / "results_mesh", max_epoch=1, batch=8)
+    t_mesh = Trainer(config, use_mesh=True)
+    assert t_mesh.mesh is not None
+
+    orig_step, seen = t_mesh.val_step, []
+    def spy(params, existing, missing, gt, key, ep, num_points):
+        seen.append(existing.sharding)
+        return orig_step(params, existing, missing, gt, key, ep, num_points=num_points)
+    t_mesh.val_step = spy
+    losses_mesh, _ = t_mesh.val_epoch(1)
+    assert seen, "val epoch ran no batches"
+    assert all(s.spec == P(DATA_AXIS) for s in seen), [s.spec for s in seen]
+
+    config2 = make_config(root, tmp_path / "results_single", max_epoch=1, batch=8)
+    t_single = Trainer(config2, use_mesh=False)
+    losses_single, _ = t_single.val_epoch(1)
+    np.testing.assert_allclose(
+        losses_mesh["total"], losses_single["total"], rtol=2e-5
+    )
+
+
 def test_point_sharded_nn_distance_matches_unsharded():
     """Ring point-axis sharding == unsharded nn_distance (values and indices)."""
     from hyperpocket_tpu.ops.chamfer import nn_distance
