@@ -76,9 +76,30 @@ class ExperimentContext:
                 jax.random.key(seed), (batch, self.model.get_noise_size())
             )
 
+        @partial(jax.jit, static_argnames=("num_points", "block"))
+        def _complete_blocks(params, existing, noise_seeds, ball_seeds, mean, std,
+                             epoch, num_points, block):
+            # G fused (noise-draw + completion) blocks in ONE dispatch. Each
+            # block reproduces exactly what a standalone `_noise(ns)` +
+            # `_complete(..., bs)` pair would produce (same keys, same
+            # per-block shapes under vmap), so fusing G blocks changes the
+            # dispatch count, not the values — evaluate_generativity relies
+            # on this to match its per-object loop form.
+            def one(ex, ns, bs):
+                noise = mean + std * jax.random.normal(
+                    jax.random.key(ns), (block, self.model.get_noise_size())
+                )
+                return self.model.apply(
+                    params, ex, None, jax.random.key(bs), epoch,
+                    num_output_points=num_points, training=False, noise=noise,
+                )
+
+            return jax.vmap(one)(existing, noise_seeds, ball_seeds)
+
         self._complete = _complete
         self._complete_from_missing = _complete_from_missing
         self._noise = _noise
+        self._complete_blocks = _complete_blocks
 
     def next_key(self):
         self._counter += 1
@@ -151,35 +172,95 @@ def fixed(ctx: ExperimentContext, datasets_dict, results_dir: str, epoch, amount
                     plt.close(fig)
 
 
+def _generate_completion_sets(ctx: ExperimentContext, existing_objs, n_gen: int,
+                              batch_size: int, mean: float, std: float,
+                              dispatch_clouds: int = 512,
+                              num_points: int = 2048) -> np.ndarray:
+    """n_gen completions per object -> (n_obj, n_gen, num_points, 3).
+
+    Dispatch-batched but VALUE-identical to the per-object loop form the
+    reference uses (core/experiments.py:81-93): the (object, block) schedule
+    consumes ctx counter seeds in exactly the loop's order — one noise draw
+    and one completion key per block of ``batch_size`` — and G blocks of
+    equal size are fused into one ``_complete_blocks`` dispatch (vmap over
+    per-block keys reproduces the standalone per-block draws bit-for-bit).
+    """
+    n_obj = len(existing_objs)
+    schedule = []  # (obj, start, block_size, noise_seed, ball_seed) — loop order
+    for o in range(n_obj):
+        for start in range(0, n_gen, batch_size):
+            b = min(batch_size, n_gen - start)
+            schedule.append((o, start, b, ctx.next_key(), ctx.next_key()))
+    out = np.empty((n_obj, n_gen, num_points, 3), np.float32)
+    for block in sorted({e[2] for e in schedule}):
+        entries = [e for e in schedule if e[2] == block]
+        group = max(1, dispatch_clouds // block)
+        for g0 in range(0, len(entries), group):
+            chunk = entries[g0 : g0 + group]
+            ex = np.stack([
+                np.broadcast_to(existing_objs[o], (block,) + existing_objs[o].shape)
+                for o, *_ in chunk
+            ])
+            rec = np.asarray(ctx._complete_blocks(
+                ctx.params, jnp.asarray(ex),
+                np.asarray([e[3] for e in chunk], np.uint32),
+                np.asarray([e[4] for e in chunk], np.uint32),
+                float(mean), float(std), jnp.asarray(float(ctx.epoch)),
+                num_points, block,
+            ))
+            for (o, start, b, _, _), r in zip(chunk, rec):
+                out[o, start : start + b] = r
+    return out
+
+
+def _lowest_y_1024(recs: np.ndarray) -> np.ndarray:
+    """Keep the 1024 lowest-y points of each cloud (experiments.py:92)."""
+    order = np.argsort(recs[..., 1], axis=-1)[..., :1024]
+    return np.take_along_axis(recs, order[..., None], axis=-2)
+
+
 def evaluate_generativity(ctx: ExperimentContext, datasets_dict, results_dir: str, epoch,
-                          batch_size=25, num_workers=8, mean=0.0, std=0.005):
+                          batch_size=25, num_workers=8, mean=0.0, std=0.005,
+                          dispatch_clouds=512, object_group_clouds=8192):
     """Reference core/experiments.py:63-104: per-object MMD/COV + JSD vs the
-    category's missing-part population."""
-    from hyperpocket_tpu.eval.metrics import compute_all_metrics, jsd_between_point_cloud_sets
+    category's missing-part population (per-object metric SUMS — the
+    reference's quirk, preserved).
+
+    Restructured for scale: completions for whole object groups are
+    generated in fused dispatches (``_generate_completion_sets``), the
+    pairwise CD/EMD matrices ride the row-blocked ``pairwise_emd_cd``, and
+    the category's reference occupancy grid for JSD is computed once instead
+    of per object. ``object_group_clouds`` bounds host memory
+    (group = clouds held at once); values match the reference's per-object
+    loop exactly.
+    """
+    from hyperpocket_tpu.eval.metrics import (
+        compute_all_metrics,
+        entropy_of_occupancy_grid,
+        jsd_between_point_cloud_sets,
+    )
 
     os.makedirs(join(results_dir, "evaluate_generativity"), exist_ok=True)
     results: dict[str, dict] = {}
     for cat_name, ds in datasets_dict.items():
         cat_gt = np.stack([np.asarray(ds[i][1], dtype=np.float32) for i in range(len(ds))])
         n_gen = len(cat_gt)
+        existing_objs = [np.asarray(ds[i][0], dtype=np.float32) for i in range(len(ds))]
+        ref_grid = entropy_of_occupancy_grid(cat_gt, 28, True)[1]
         cat_results: dict[str, float] = {}
-        for obj_idx in range(len(ds)):
-            existing = np.asarray(ds[obj_idx][0], dtype=np.float32)[None]
-            recs = []
-            for start in range(0, n_gen, batch_size):
-                b = min(batch_size, n_gen - start)
-                noise = ctx.sample_noise(b, mean, std)
-                rec = ctx.complete(np.repeat(existing, b, axis=0), noise)
-                # keep the 1024 lowest-y points (experiments.py:92)
-                for pc in rec:
-                    order = np.argsort(pc[:, 1])[:1024]
-                    recs.append(pc[order])
-            obj_recs = np.stack(recs)
-            for k, v in compute_all_metrics(obj_recs, cat_gt, batch_size).items():
-                cat_results[k] = cat_results.get(k, 0.0) + float(v)
-            cat_results["jsd"] = cat_results.get("jsd", 0.0) + jsd_between_point_cloud_sets(
-                obj_recs, cat_gt
+        group = max(1, object_group_clouds // max(n_gen, 1))
+        for o0 in range(0, len(ds), group):
+            objs = existing_objs[o0 : o0 + group]
+            recs = _generate_completion_sets(
+                ctx, objs, n_gen, batch_size, mean, std, dispatch_clouds
             )
+            recs = _lowest_y_1024(recs)
+            for obj_recs in recs:
+                for k, v in compute_all_metrics(obj_recs, cat_gt, batch_size).items():
+                    cat_results[k] = cat_results.get(k, 0.0) + float(v)
+                cat_results["jsd"] = cat_results.get("jsd", 0.0) + jsd_between_point_cloud_sets(
+                    obj_recs, ref_grid=ref_grid
+                )
         results[cat_name] = cat_results
         log.info("%s %s", cat_name, cat_results)
 

@@ -53,24 +53,40 @@ def EMD_CD(sample_pcs, ref_pcs, batch_size: int, reduced: bool = True) -> dict:
     return {"MMD-CD": cd, "MMD-EMD": emd}
 
 
-def pairwise_emd_cd(sample_pcs, ref_pcs, batch_size: int) -> tuple[jax.Array, jax.Array]:
-    """(N_sample, N_ref) CD and EMD matrices (reference _pairwise_EMD_CD_)."""
+def pairwise_emd_cd(sample_pcs, ref_pcs, batch_size: int,
+                    row_block: int = 8) -> tuple[jax.Array, jax.Array]:
+    """(N_sample, N_ref) CD and EMD matrices (reference _pairwise_EMD_CD_).
+
+    The reference loops one sample row at a time against ref chunks
+    (utils/metrics.py:121-158 — one CUDA launch per (row, chunk)); here
+    ``row_block`` rows are flattened with each ref chunk into ONE
+    (row_block*chunk)-pair dispatch. Per-pair values are unchanged (CD/EMD
+    are per-cloud-pair independent), but the dispatch count drops by
+    ``row_block`` — the difference between latency-bound and compute-bound
+    over the axon tunnel's ~29 ms dispatch floor.
+    """
     sample_pcs = jnp.asarray(sample_pcs)
     ref_pcs = jnp.asarray(ref_pcs)
     n_sample, n_ref = sample_pcs.shape[0], ref_pcs.shape[0]
-    all_cd, all_emd = [], []
-    for i in range(n_sample):
-        cd_row, emd_row = [], []
+    rows_cd, rows_emd = [], []
+    for i0 in range(0, n_sample, row_block):
+        samp = sample_pcs[i0 : i0 + row_block]  # (r, P, 3)
+        r = samp.shape[0]
+        row_cd, row_emd = [], []
         for start in range(0, n_ref, batch_size):
-            ref_chunk = ref_pcs[start : start + batch_size]
-            sample_exp = jnp.broadcast_to(
-                sample_pcs[i][None], (ref_chunk.shape[0],) + sample_pcs[i].shape
-            )
-            cd_row.append(chamfer_per_cloud(sample_exp, ref_chunk))
-            emd_row.append(earth_mover_distance(sample_exp, ref_chunk))
-        all_cd.append(jnp.concatenate(cd_row))
-        all_emd.append(jnp.concatenate(emd_row))
-    return jnp.stack(all_cd), jnp.stack(all_emd)
+            ref_chunk = ref_pcs[start : start + batch_size]  # (c, Q, 3)
+            c = ref_chunk.shape[0]
+            samp_exp = jnp.broadcast_to(
+                samp[:, None], (r, c) + samp.shape[1:]
+            ).reshape((r * c,) + samp.shape[1:])
+            ref_exp = jnp.broadcast_to(
+                ref_chunk[None], (r, c) + ref_chunk.shape[1:]
+            ).reshape((r * c,) + ref_chunk.shape[1:])
+            row_cd.append(chamfer_per_cloud(samp_exp, ref_exp).reshape(r, c))
+            row_emd.append(earth_mover_distance(samp_exp, ref_exp).reshape(r, c))
+        rows_cd.append(jnp.concatenate(row_cd, axis=1))
+        rows_emd.append(jnp.concatenate(row_emd, axis=1))
+    return jnp.concatenate(rows_cd, axis=0), jnp.concatenate(rows_emd, axis=0)
 
 
 def mmd_cov(all_dist: jax.Array) -> dict:
@@ -154,20 +170,64 @@ def entropy_of_occupancy_grid(pclouds, grid_resolution: int, in_sphere: bool = F
     if in_sphere and verbose and np.max(np.sqrt(np.sum(pclouds**2, axis=2))) > bound:
         warnings.warn("Point-clouds are not in unit sphere.")
 
-    grid_coordinates, _ = unit_cube_grid_point_cloud(grid_resolution, in_sphere)
+    grid_coordinates, spacing = unit_cube_grid_point_cloud(grid_resolution, in_sphere)
     grid_coordinates = grid_coordinates.reshape(-1, 3)
-    from scipy.spatial import cKDTree
 
-    tree = cKDTree(grid_coordinates)
+    # Nearest grid cell analytically: the grid is REGULAR, so the nearest
+    # full-grid point is coordinate-wise rounding — no KD-tree query per
+    # cloud (the reference's per-cloud tree.query loop is the JSD wall at
+    # real-dataset scale). With in_sphere the out-of-sphere cells are
+    # removed from the grid; a point whose rounded cell was removed falls
+    # back to a (single, batched) KD query over just those points — rounding
+    # remains exact for every point whose rounded cell survives.
+    res = grid_resolution
+    if pclouds.dtype == object or pclouds.ndim != 3:
+        # ragged cloud list: per-cloud KD loop (the reference's form)
+        from scipy.spatial import cKDTree
+
+        tree = cKDTree(grid_coordinates)
+        grid_counters = np.zeros(len(grid_coordinates))
+        grid_bernoulli_rvars = np.zeros(len(grid_coordinates))
+        for pc in pclouds:
+            _, indices = tree.query(pc)
+            uniq, counts = np.unique(indices, return_counts=True)
+            grid_counters[uniq] += counts
+            grid_bernoulli_rvars[uniq] += 1
+        return _finish_entropy(grid_counters, grid_bernoulli_rvars, len(pclouds))
+    pts = pclouds.reshape(-1, 3)
+    ijk = np.clip(np.rint((pts + 0.5) / spacing), 0, res - 1).astype(np.int64)
+    full_flat = (ijk[:, 0] * res + ijk[:, 1]) * res + ijk[:, 2]
+    if in_sphere:
+        ax = np.arange(res, dtype=np.float32) * spacing - 0.5
+        full_grid = np.stack(np.meshgrid(ax, ax, ax, indexing="ij"), axis=-1).reshape(-1, 3)
+        kept = np.linalg.norm(full_grid, axis=1) <= 0.5
+        full_to_kept = np.full(res**3, -1, dtype=np.int64)
+        full_to_kept[kept] = np.arange(int(kept.sum()))
+        indices_all = full_to_kept[full_flat]
+        miss = indices_all < 0
+        if miss.any():
+            from scipy.spatial import cKDTree
+
+            _, fb = cKDTree(grid_coordinates).query(pts[miss])
+            indices_all[miss] = fb
+    else:
+        indices_all = full_flat
+    indices_all = indices_all.reshape(pclouds.shape[0], pclouds.shape[1])
+
     grid_counters = np.zeros(len(grid_coordinates))
     grid_bernoulli_rvars = np.zeros(len(grid_coordinates))
-    for pc in pclouds:
-        _, indices = tree.query(pc)
-        uniq, counts = np.unique(indices, return_counts=True)
-        grid_counters[uniq] += counts
-        grid_bernoulli_rvars[uniq] += 1
+    np.add.at(grid_counters, indices_all.ravel(), 1)
+    # per-cloud occupancy: first occurrence per sorted row
+    srt = np.sort(indices_all, axis=1)
+    first = np.ones_like(srt, dtype=bool)
+    first[:, 1:] = srt[:, 1:] != srt[:, :-1]
+    np.add.at(grid_bernoulli_rvars, srt[first], 1)
 
-    n = float(len(pclouds))
+    return _finish_entropy(grid_counters, grid_bernoulli_rvars, len(pclouds))
+
+
+def _finish_entropy(grid_counters, grid_bernoulli_rvars, n_clouds: int):
+    n = float(n_clouds)
     occupied = grid_bernoulli_rvars[grid_bernoulli_rvars > 0]
     # vectorized Bernoulli entropy: the reference loops scipy.stats.entropy
     # per occupied cell (metrics.py:283-287), ~0.5 ms of scipy overhead per
@@ -210,7 +270,13 @@ def jensen_shannon_divergence(p, q) -> float:
     return float(res)
 
 
-def jsd_between_point_cloud_sets(sample_pcs, ref_pcs, resolution: int = 28) -> float:
+def jsd_between_point_cloud_sets(sample_pcs, ref_pcs=None, resolution: int = 28,
+                                 ref_grid=None) -> float:
+    """JSD between occupancy distributions. ``ref_grid`` (a precomputed
+    ``entropy_of_occupancy_grid(ref_pcs, ...)[1]``) lets callers that compare
+    many sample sets against ONE reference set (evaluate_generativity: every
+    object vs the category population) skip recomputing the ref grid."""
     sample_grid = entropy_of_occupancy_grid(sample_pcs, resolution, True)[1]
-    ref_grid = entropy_of_occupancy_grid(ref_pcs, resolution, True)[1]
+    if ref_grid is None:
+        ref_grid = entropy_of_occupancy_grid(ref_pcs, resolution, True)[1]
     return jensen_shannon_divergence(sample_grid, ref_grid)

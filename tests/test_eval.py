@@ -204,3 +204,61 @@ def test_batched_process_fns_match_per_loop_oracles(tmp_path):
         for i in range(n_obj)
     ]))
     assert tmd_process(str(tmp_path), group=group) == pytest.approx(tmd_oracle, rel=1e-6)
+
+
+def test_pairwise_row_block_invariant(sets):
+    """Row-blocking changes dispatch granularity, never values."""
+    sample, ref = sets
+    cd1, emd1 = pairwise_emd_cd(sample, ref, batch_size=3, row_block=1)
+    cd4, emd4 = pairwise_emd_cd(sample, ref, batch_size=3, row_block=4)
+    np.testing.assert_allclose(np.asarray(cd4), np.asarray(cd1), rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(emd4), np.asarray(emd1), rtol=1e-6, atol=1e-7)
+
+
+def test_entropy_grid_fast_path_matches_kdtree():
+    """The analytic nearest-cell path must reproduce the reference's
+    KD-tree-per-cloud scan (utils/metrics.py:264-287) exactly."""
+    from scipy.spatial import cKDTree
+
+    from hyperpocket_tpu.eval.metrics import entropy_of_occupancy_grid
+
+    rng = np.random.default_rng(5)
+    clouds = (rng.uniform(-0.55, 0.55, size=(7, 128, 3))).astype(np.float32)
+    for in_sphere in (False, True):
+        ent, counters = entropy_of_occupancy_grid(clouds, 28, in_sphere)
+        grid, _ = unit_cube_grid_point_cloud(28, in_sphere)
+        tree = cKDTree(grid.reshape(-1, 3))
+        exp_counters = np.zeros(len(grid.reshape(-1, 3)))
+        exp_bern = np.zeros_like(exp_counters)
+        for pc in clouds:
+            _, idx = tree.query(pc)
+            uniq, counts = np.unique(idx, return_counts=True)
+            exp_counters[uniq] += counts
+            exp_bern[uniq] += 1
+        np.testing.assert_array_equal(counters, exp_counters)
+        # entropy recompute from the oracle occupancy
+        occ = exp_bern[exp_bern > 0] / 7.0
+        h = -(occ * np.log(occ) + (1 - occ) * np.log(1 - occ))
+        h[~np.isfinite(h)] = 0.0
+        assert ent == pytest.approx(float(h.sum()) / len(exp_counters), rel=1e-9)
+
+
+def test_entropy_grid_ragged_fallback():
+    rng = np.random.default_rng(6)
+    clouds = [rng.uniform(-0.4, 0.4, size=(n, 3)).astype(np.float32) for n in (50, 70)]
+    import numpy as _np
+
+    arr = _np.empty(2, dtype=object)
+    arr[0], arr[1] = clouds
+    ent, counters = __import__("hyperpocket_tpu.eval.metrics", fromlist=["x"]).entropy_of_occupancy_grid(arr, 16, True)
+    assert np.isfinite(ent) and counters.sum() == 120
+
+
+def test_jsd_ref_grid_param(sets):
+    from hyperpocket_tpu.eval.metrics import entropy_of_occupancy_grid
+
+    sample, ref = sets
+    ref_grid = entropy_of_occupancy_grid(ref, 28, True)[1]
+    full = jsd_between_point_cloud_sets(sample, ref)
+    cached = jsd_between_point_cloud_sets(sample, ref_grid=ref_grid)
+    assert cached == pytest.approx(full, abs=1e-12)

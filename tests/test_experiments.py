@@ -179,3 +179,63 @@ def test_merge_different_categories_reproducible(trained_setup, tmp_path):
                                    str(out), 1, amount=1, split_points=32)
         digests.append(_hash_dir(join(out, "merge_different_categories")))
     assert digests[0] == digests[1]
+
+
+def test_evaluate_generativity_matches_loop_form(trained_setup, tmp_path):
+    """The batched pipeline must reproduce the reference-shaped per-object
+    loop (core/experiments.py:63-104) exactly: same ctx key consumption
+    order, same per-object metric SUMS (quirk preserved), same JSD."""
+    import jax.numpy as jnp
+
+    from hyperpocket_tpu.eval.experiments import ExperimentContext, evaluate_generativity
+    from hyperpocket_tpu.eval.metrics import compute_all_metrics, jsd_between_point_cloud_sets
+
+    config, trainer = trained_setup
+    rng = np.random.default_rng(9)
+    n_obj = 5
+    # missing parts are 1024-pt (EMD pairs them with the 1024 lowest-y
+    # points of each 2048-pt completion, as on the real datasets)
+    ds = [
+        (
+            (rng.standard_normal((32, 3)) * 0.3).astype(np.float32),
+            (rng.standard_normal((1024, 3)) * 0.3).astype(np.float32),
+            (rng.standard_normal((64, 3)) * 0.3).astype(np.float32),
+            "airplane",
+        )
+        for _ in range(n_obj)
+    ]
+    batch_size = 2  # n_gen=5 -> blocks of 2,2,1 per object (exercises tails)
+
+    # batched implementation under test
+    ctx = ExperimentContext(trainer.model, trainer.params, epoch=1, seed=123)
+    got = evaluate_generativity(
+        ctx, {"airplane": ds}, str(tmp_path / "batched"), 1,
+        batch_size=batch_size, std=0.05, dispatch_clouds=6,
+    )["airplane"]
+
+    # loop-form spec: the reference's structure, one dispatch per block
+    ctx2 = ExperimentContext(trainer.model, trainer.params, epoch=1, seed=123)
+    cat_gt = np.stack([d[1] for d in ds])
+    expected: dict[str, float] = {}
+    for obj_idx in range(n_obj):
+        existing = ds[obj_idx][0][None]
+        recs = []
+        for start in range(0, n_obj, batch_size):
+            b = min(batch_size, n_obj - start)
+            noise = ctx2.sample_noise(b, 0.0, 0.05)
+            rec = ctx2.complete(np.repeat(existing, b, axis=0), noise)
+            for pc in rec:
+                order = np.argsort(pc[:, 1])[:1024]
+                recs.append(pc[order])
+        obj_recs = np.stack(recs)
+        for k, v in compute_all_metrics(obj_recs, cat_gt, batch_size).items():
+            expected[k] = expected.get(k, 0.0) + float(v)
+        expected["jsd"] = expected.get("jsd", 0.0) + jsd_between_point_cloud_sets(
+            obj_recs, cat_gt
+        )
+
+    assert set(got) == set(expected)
+    for k in expected:
+        assert got[k] == pytest.approx(expected[k], rel=1e-5, abs=1e-7), (
+            k, got[k], expected[k]
+        )
