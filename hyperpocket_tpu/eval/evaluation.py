@@ -57,23 +57,41 @@ def minimum_matching_distance(sample_pcs: np.ndarray, ref_pcs: np.ndarray, batch
     r_block = 8
 
     @jax.jit
-    def best_in_block(refs, chunk):
-        # refs (R, n, 3), chunk (S, n, 3) -> per-ref min over the S samples
+    def best_in_block(refs, chunk, n_valid):
+        # refs (R, n, 3), chunk (S, n, 3) -> per-ref min over the first
+        # n_valid of the S samples (pad columns masked with +inf)
         r, s = refs.shape[0], chunk.shape[0]
         refs_b = jnp.broadcast_to(refs[:, None], (r, s, n_pts, dim)).reshape(r * s, n_pts, dim)
         chunk_b = jnp.broadcast_to(chunk[None], (r, s, n_pts, dim)).reshape(r * s, n_pts, dim)
         d_ref_to_s, d_s_to_ref = nn_min_dists(refs_b, chunk_b)  # argmins unused
         cd = jnp.mean(d_ref_to_s, axis=1) + jnp.mean(d_s_to_ref, axis=1)
-        return jnp.min(cd.reshape(r, s), axis=1)
+        cd = jnp.where(jnp.arange(s)[None, :] < n_valid, cd.reshape(r, s), jnp.inf)
+        return jnp.min(cd, axis=1)
 
-    sample_pcs = jnp.asarray(sample_pcs)
+    # Tail blocks are PADDED (last cloud repeated, pad results masked/cut) so
+    # exactly ONE (r_block, batch_size) shape is ever compiled — each fresh
+    # block shape would otherwise pay a 20-40 s (erratic) Mosaic/XLA compile
+    # over the tunnel, eating the dispatch-batching win on small corpora.
+    sample_np = np.asarray(sample_pcs)
     ref_pcs = np.asarray(ref_pcs)
     best = np.full(n_ref, np.inf, np.float64)
     for r0 in range(0, n_ref, r_block):
-        refs = jnp.asarray(ref_pcs[r0 : r0 + r_block])
-        for s0 in range(0, sample_pcs.shape[0], batch_size):
-            blk = np.asarray(best_in_block(refs, sample_pcs[s0 : s0 + batch_size]))
-            np.minimum.at(best, np.arange(r0, r0 + refs.shape[0]), blk)
+        refs_np = ref_pcs[r0 : r0 + r_block]
+        r = refs_np.shape[0]
+        if r < r_block:
+            refs_np = np.concatenate(
+                [refs_np, np.repeat(refs_np[-1:], r_block - r, axis=0)]
+            )
+        refs = jnp.asarray(refs_np)
+        for s0 in range(0, sample_np.shape[0], batch_size):
+            chunk_np = sample_np[s0 : s0 + batch_size]
+            s = chunk_np.shape[0]
+            if s < batch_size:
+                chunk_np = np.concatenate(
+                    [chunk_np, np.repeat(chunk_np[-1:], batch_size - s, axis=0)]
+                )
+            blk = np.asarray(best_in_block(refs, jnp.asarray(chunk_np), s))
+            np.minimum.at(best, np.arange(r0, r0 + r), blk[:r])
     matched = [float(v) for v in best]
     return float(np.mean(matched)), matched
 

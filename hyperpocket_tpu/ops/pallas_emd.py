@@ -249,7 +249,12 @@ def _emd_kernel(x_ref, y_ref, out_ref, remain_l, ratio_l, remain_r, ratio_r,
             for c4 in range(tile_n // 128):
                 cost_plane[...] += vec[:, c4 * 128 : (c4 + 1) * 128]
         else:
-            cost_plane[0, 0] += jnp.sum(vec)
+            # non-128-multiple tiles (direct kernel calls only — the
+            # dispatcher's emd_shapes_ok requires 128-multiples): add the
+            # scalar through a full-width masked vector RMW; Mosaic handles
+            # a VMEM scalar RMW (cost_plane[0, 0] +=) less robustly
+            lane = lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+            cost_plane[...] += jnp.where(lane == 0, jnp.sum(vec), 0.0)
 
     if cache:
         d_full, kern_full, pb_planes = cache

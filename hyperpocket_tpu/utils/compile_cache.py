@@ -38,6 +38,15 @@ def enable_compile_cache(cache_dir: str | None = None) -> str | None:
     if env == "0":
         return None
     if _enabled_dir is not None:
+        if cache_dir is not None and cache_dir != _enabled_dir:
+            # first-call-wins is deliberate (re-pointing after executables
+            # were cached would split the cache), but it must be VISIBLE:
+            # a Trainer's explicit setup.compile_cache losing to an earlier
+            # bench/CLI default was silent before
+            logging.getLogger("hyperpocket_tpu").warning(
+                "compile cache already active at %s; ignoring requested %s",
+                _enabled_dir, cache_dir,
+            )
         return _enabled_dir
     path = cache_dir or env or _DEFAULT_DIR
     try:
