@@ -216,6 +216,16 @@ def _match_cost_bwd_xla(x, y):
 
 
 def _match_cost_bwd(res, g):
+    """Backward dispatch. PRECISION NOTE (training-loss use): on real TPU
+    the pallas backward's gradients differ from the XLA path by up to ~0.5%
+    on worst elements near coincident points (transcendental precision
+    amplified by 1/dist; interpret-mode agreement is 1e-4). EMD is
+    metrics-only in this framework (training uses Chamfer, as the reference
+    hardcodes — core/main.py:58), where gradients never flow. Anyone
+    adopting match_cost as a TRAINING loss should either set
+    ``HPCD_EMD_IMPL=xla`` or first extend
+    tests/test_pallas_emd.py::test_emd_descent_parity_pallas_vs_xla's
+    descent check to their config on real hardware."""
     x, y = res
     impl = _emd_impl()
     use_pallas = False

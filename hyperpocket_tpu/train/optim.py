@@ -26,7 +26,57 @@ from typing import Callable
 import optax
 
 
-def make_optimizer(opt_config: dict, trainable_mask=None) -> optax.GradientTransformation:
+def scale_by_adam_lowp(b1: float = 0.9, b2: float = 0.999, eps: float = 1e-8,
+                       moment_dtype="bfloat16") -> optax.GradientTransformation:
+    """scale_by_adam with BOTH moments stored in ``moment_dtype``.
+
+    optax's ``mu_dtype`` covers the first moment only; the flagship model's
+    optimizer-state HBM traffic is dominated by the (2048, 19011) hypernet
+    head (~312 MB/step of fp32 moment reads+writes), so halving BOTH moment
+    widths is the traffic lever. Moment math runs in the grad dtype (fp32)
+    and results are cast on store; bias correction and the update expression
+    match torch/optax Adam exactly apart from the storage rounding
+    (bf16 nu => ~0.4% relative sqrt(v) error; convergence must be verified
+    per-config — see util_scripts/train_step_ab.py and CLAUDE.md).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    md = jnp.dtype(moment_dtype)
+
+    def init(params):
+        zeros = lambda p: jnp.zeros_like(p, dtype=md)
+        return optax.ScaleByAdamState(
+            count=jnp.zeros([], jnp.int32),
+            mu=jax.tree_util.tree_map(zeros, params),
+            nu=jax.tree_util.tree_map(zeros, params),
+        )
+
+    def update(grads, state, params=None):
+        del params
+        count = optax.safe_increment(state.count)
+        mu = jax.tree_util.tree_map(
+            lambda g, m: (b1 * m.astype(g.dtype) + (1 - b1) * g).astype(md),
+            grads, state.mu,
+        )
+        nu = jax.tree_util.tree_map(
+            lambda g, v: (b2 * v.astype(g.dtype) + (1 - b2) * g * g).astype(md),
+            grads, state.nu,
+        )
+        bc1 = 1 - b1 ** count.astype(jnp.float32)
+        bc2 = 1 - b2 ** count.astype(jnp.float32)
+        updates = jax.tree_util.tree_map(
+            lambda m, v: (m.astype(jnp.float32) / bc1)
+            / (jnp.sqrt(v.astype(jnp.float32) / bc2) + eps),
+            mu, nu,
+        )
+        return updates, optax.ScaleByAdamState(count=count, mu=mu, nu=nu)
+
+    return optax.GradientTransformation(init, update)
+
+
+def make_optimizer(opt_config: dict, trainable_mask=None,
+                   moment_dtype: str | None = None) -> optax.GradientTransformation:
     """Build an optax optimizer from a reference-schema optimizer config.
 
     ``trainable_mask``: optional pytree of bools matching the params; False
@@ -35,6 +85,11 @@ def make_optimizer(opt_config: dict, trainable_mask=None) -> optax.GradientTrans
     The reference excludes frozen hypernetwork heads from the optimizer
     (full_model.py's ``parameters``); stop_gradient alone would not stop
     coupled weight decay.
+
+    ``moment_dtype`` (config ``training.optimizer.moment_dtype`` /
+    ``hyperparams`` untouched): store Adam moments in a narrower dtype via
+    :func:`scale_by_adam_lowp` — an HBM-traffic optimization for
+    head-dominated models; fp32 default preserves exact torch parity.
     """
     kind = opt_config["type"]
     hp = dict(opt_config.get("hyperparams", {}))
@@ -45,16 +100,19 @@ def make_optimizer(opt_config: dict, trainable_mask=None) -> optax.GradientTrans
         eps = float(hp.pop("eps", 1e-8))
         wd = float(hp.pop("weight_decay", 0.0))
         amsgrad = bool(hp.pop("amsgrad", False))
+        moment_dtype = hp.pop("moment_dtype", moment_dtype)
 
         def build(learning_rate):
             parts = []
             if kind == "Adam" and wd:
                 parts.append(optax.add_decayed_weights(wd))  # coupled L2
-            parts.append(
-                optax.scale_by_amsgrad(b1=float(b1), b2=float(b2), eps=eps)
-                if amsgrad
-                else optax.scale_by_adam(b1=float(b1), b2=float(b2), eps=eps)
-            )
+            if amsgrad:
+                scaler = optax.scale_by_amsgrad(b1=float(b1), b2=float(b2), eps=eps)
+            elif moment_dtype is not None:
+                scaler = scale_by_adam_lowp(float(b1), float(b2), eps, moment_dtype)
+            else:
+                scaler = optax.scale_by_adam(b1=float(b1), b2=float(b2), eps=eps)
+            parts.append(scaler)
             if kind == "AdamW" and wd:
                 parts.append(optax.add_decayed_weights(wd))  # decoupled
             parts.append(optax.scale_by_learning_rate(learning_rate))

@@ -1,6 +1,7 @@
 """Experimental fused Pallas EMD vs the XLA streaming implementation."""
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -79,3 +80,40 @@ def test_cached_and_streaming_scaffolding_agree(clouds, monkeypatch):
     np.testing.assert_allclose(cached_f, stream_f, rtol=1e-5)
     np.testing.assert_allclose(cached_g[0], stream_g[0], rtol=1e-4, atol=1e-6)
     np.testing.assert_allclose(cached_g[1], stream_g[1], rtol=1e-4, atol=1e-6)
+
+
+def test_emd_descent_parity_pallas_vs_xla(monkeypatch):
+    """Convergence guard for EMD-as-training-loss (VERDICT r2 #8): a short
+    gradient-descent fit of a cloud under the EMD objective must follow the
+    same loss trajectory with the pallas backward as with the XLA backward.
+
+    On CPU the pallas kernels run in interpret mode (gradient agreement
+    ~1e-4); on real TPU the pallas backward drifts up to ~0.5% on worst
+    elements near coincident points — this test doubles as the harness to
+    re-run on-chip before adopting EMD as a training loss (see the
+    _match_cost_bwd docstring in ops/emd.py).
+    """
+    import jax
+
+    from hyperpocket_tpu.ops.emd import match_cost
+
+    rng = np.random.default_rng(3)
+    # B >= 16 so the TPU auto gate would take the pallas path on-chip
+    x0 = jnp.asarray(rng.standard_normal((16, 128, 3)) * 0.3, jnp.float32)
+    target = jnp.asarray(rng.standard_normal((16, 128, 3)) * 0.3, jnp.float32)
+
+    def run(impl):
+        monkeypatch.setenv("HPCD_EMD_IMPL", impl)
+        loss_fn = lambda x: jnp.sum(match_cost(x, target)) / (16 * 128)
+        vg = jax.jit(jax.value_and_grad(loss_fn))
+        x, losses = x0, []
+        for _ in range(10):
+            val, g = vg(x)
+            losses.append(float(val))
+            x = x - 0.05 * g
+        return np.asarray(losses)
+
+    l_pallas = run("pallas")
+    l_xla = run("xla")
+    assert l_xla[-1] < l_xla[0]  # it actually descends
+    np.testing.assert_allclose(l_pallas, l_xla, rtol=2e-3)
