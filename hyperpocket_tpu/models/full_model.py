@@ -214,6 +214,8 @@ class FullModel:
         noise: jax.Array | None = None,
         vae_eps: jax.Array | None = None,
         ball_points: jax.Array | None = None,
+        head_delta: jax.Array | None = None,
+        return_trunk: bool = False,
     ):
         """Forward pass.
 
@@ -249,9 +251,15 @@ class FullModel:
         latent, mu, sigma = self._get_latent(
             params, existing, missing, k_enc, training, noise, eps=vae_eps
         )
-        flat_weights = hyper_network_forward(
-            params["hyper_network"], latent, freeze_heads=self.freeze_heads
+        # head_delta/return_trunk: fused-head-Adam taps (see
+        # hyper_network_forward); production forwards leave them unset
+        fused_tap = head_delta is not None or return_trunk
+        hn_out = hyper_network_forward(
+            params["hyper_network"], latent, freeze_heads=self.freeze_heads,
+            stop_head_weight_grad=fused_tap and not self.freeze_heads,
+            head_delta=head_delta, return_trunk=return_trunk,
         )
+        flat_weights, trunk_h = hn_out if return_trunk else (hn_out, None)
         batch = existing.shape[0]
         if ball_points is not None:
             pts = jnp.asarray(ball_points)
@@ -282,5 +290,9 @@ class FullModel:
                 mu = mu.astype(out_dtype)
             if sigma is not None:
                 sigma = sigma.astype(out_dtype)
+            if return_trunk:
+                return reconstruction, mu, sigma, trunk_h
             return reconstruction, mu, sigma
+        if return_trunk:
+            return reconstruction, trunk_h
         return reconstruction

@@ -82,8 +82,20 @@ def head_slices(layer_out_channels: list[int], use_bias: bool) -> list[slice]:
     return out
 
 
-def hyper_network_forward(params: dict, latent: jax.Array, *, freeze_heads: bool = False) -> jax.Array:
-    """latent (B, Z) -> flat target-network weights (B, sum(sizes))."""
+def hyper_network_forward(params: dict, latent: jax.Array, *, freeze_heads: bool = False,
+                          stop_head_weight_grad: bool = False,
+                          head_delta: jax.Array | None = None,
+                          return_trunk: bool = False):
+    """latent (B, Z) -> flat target-network weights (B, sum(sizes)).
+
+    ``stop_head_weight_grad`` + ``head_delta`` + ``return_trunk`` are the
+    fused-head-Adam taps (ops/pallas_head_adam.py): W's AD gradient is cut
+    (its dW would only be materialised then re-read by the optimizer), a
+    zero ``delta`` added to the head output yields the cotangent d_flat
+    instead, and the trunk activations ``h`` come back so the fused kernel
+    can form dW = h^T d_flat tile-wise. The head BIAS keeps its normal AD
+    path (its gradient is tiny).
+    """
     h = latent
     n = len(params["trunk"])
     for i, layer in enumerate(params["trunk"]):
@@ -93,4 +105,9 @@ def hyper_network_forward(params: dict, latent: jax.Array, *, freeze_heads: bool
     heads = params["heads"]
     if freeze_heads:
         heads = lax.stop_gradient(heads)
-    return apply_dense(heads, h)
+    elif stop_head_weight_grad:
+        heads = {**heads, "w": lax.stop_gradient(heads["w"])}
+    flat = apply_dense(heads, h)
+    if head_delta is not None:
+        flat = flat + head_delta.astype(flat.dtype)
+    return (flat, h) if return_trunk else flat

@@ -79,6 +79,85 @@ def make_train_step(model: FullModel, tx, loss_coef: float, prng_impl: str = "th
     return step
 
 
+def init_head_adam_state(params: dict, moment_dtype: str = "bfloat16") -> dict:
+    """Adam state for the fused head-W update (ops/pallas_head_adam.py)."""
+    w = params["hyper_network"]["heads"]["w"]
+    md = jnp.dtype(moment_dtype)
+    return {
+        "m": jnp.zeros(w.shape, md),
+        "v": jnp.zeros(w.shape, md),
+        "count": jnp.zeros((), jnp.int32),
+    }
+
+
+def make_fused_train_step(model: FullModel, tx, loss_coef: float,
+                          prng_impl: str = "threefry2x32",
+                          adam_cfg: tuple = (0.9, 0.999, 1e-8)):
+    """Train step with the hypernet head-W updated by the fused pallas Adam.
+
+    MEASURED NEGATIVE RESULT — kept tested as engineering record, NOT wired
+    to the Trainer config: 8.98 ms/step vs 7.56 plain (B=64 bf16, real v5e,
+    interleaved A/B). XLA already fuses the Adam elementwise chain into the
+    head dW GEMM's consumer, so the plain path never materialises dW to HBM;
+    the separate pallas pass re-pays the p/m/v traffic at ~160 GB/s and
+    serializes against the step (see ops/pallas_head_adam.py docstring).
+
+    Mechanics: AD is cut at W (stop-gradient), d_flat comes back via a zero
+    head_delta, and ``head_adam_update`` forms dW tiles on the MXU and
+    applies Adam in one pass — fp32 master + narrow moments. ``tx`` must
+    zero the head-W leaf; requires plain Adam, weight_decay=0.
+
+    Returns step(params, opt_state, head_state, existing, missing, gt, key,
+    epoch, num_points) -> (params, opt_state, head_state, loss, loss_r,
+    loss_k, rec).
+    """
+    from hyperpocket_tpu.ops.pallas_head_adam import adam_scalars, head_adam_update
+
+    b1, b2, eps = adam_cfg
+
+    @partial(jax.jit, static_argnames=("num_points",), donate_argnums=(0, 1, 2))
+    def step(params, opt_state, head_state, existing, missing, gt, key, epoch,
+             num_points, vae_eps=None, ball_points=None):
+        if jnp.issubdtype(jnp.asarray(key).dtype, jnp.integer):
+            key = jax.random.key(key, impl=prng_impl)
+        cd = jnp.dtype(model.compute_dtype)
+        delta0 = jnp.zeros((existing.shape[0], model.flat_weight_count), cd)
+
+        def loss_fn(p, delta):
+            rec, mu, sigma, h = model.apply(
+                p, existing, missing, key, epoch, num_output_points=num_points,
+                training=True, vae_eps=vae_eps, ball_points=ball_points,
+                head_delta=delta, return_trunk=True,
+            )
+            loss_r = reconstruction_loss(gt, rec, loss_coef)
+            if model.has_generativity:
+                loss_k = kld_loss(mu, sigma, existing.shape[0])
+            else:
+                loss_k = jnp.zeros(())
+            return loss_r + loss_k, (loss_r, loss_k, rec, h)
+
+        import optax
+
+        (loss, (loss_r, loss_k, rec, h)), (g_params, g_delta) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True
+        )(params, delta0)
+        updates, opt_state = tx.update(g_params, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        count = head_state["count"] + 1
+        lr = opt_state.hyperparams["learning_rate"]
+        sc = adam_scalars(lr, b1, b2, eps, count)
+        w, m, v = head_adam_update(
+            h, g_delta, params["hyper_network"]["heads"]["w"],
+            head_state["m"], head_state["v"], sc,
+            interpret=jax.default_backend() != "tpu",
+        )
+        params = {**params, "hyper_network": {**params["hyper_network"],
+                  "heads": {**params["hyper_network"]["heads"], "w": w}}}
+        return params, opt_state, {"m": m, "v": v, "count": count}, loss, loss_r, loss_k, rec
+
+    return step
+
+
 def make_val_step(model: FullModel, loss_coef: float, prng_impl: str = "threefry2x32"):
     @partial(jax.jit, static_argnames=("num_points",))
     def step(params, existing, missing, gt, key, epoch, num_points):

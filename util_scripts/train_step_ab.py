@@ -138,6 +138,44 @@ def main():
     variants["grad_only"] = lambda i: grad_only(st_full["p"], np.uint32(i))
     variants["loss_only"] = lambda i: loss_only(st_full["p"], np.uint32(i))
 
+    # fused head-Adam (pallas dW+moment+param single pass, bf16 moments)
+    from hyperpocket_tpu.train.trainer import init_head_adam_state, make_fused_train_step
+
+    headw_mask = jtu.tree_map_with_path(
+        lambda path, _: not ("hyper_network" in [getattr(q, "key", None) for q in path]
+                             and "heads" in [getattr(q, "key", None) for q in path]
+                             and "w" in [getattr(q, "key", None) for q in path]),
+        params,
+    )
+    tx_headmask = make_optimizer(opt_cfg, headw_mask)
+    fstep = make_fused_train_step(model, tx_headmask, 0.05, "rbg")
+    st_fused = mk_state(tx_headmask)
+    st_fused["h"] = init_head_adam_state(params, "bfloat16")
+
+    def fused_dispatch(i):
+        st_fused["p"], st_fused["s"], st_fused["h"], loss, *_ = fstep(
+            st_fused["p"], st_fused["s"], st_fused["h"], existing, missing, gt,
+            np.uint32(i), epoch, num_points=2048,
+        )
+        return loss
+
+    variants["fused_head"] = fused_dispatch
+
+    # fused head-Adam + bf16 moments for the REST of the params
+    tx_both = make_optimizer(opt_cfg, headw_mask, moment_dtype="bfloat16")
+    fstep2 = make_fused_train_step(model, tx_both, 0.05, "rbg")
+    st_fused2 = mk_state(tx_both)
+    st_fused2["h"] = init_head_adam_state(params, "bfloat16")
+
+    def fused2_dispatch(i):
+        st_fused2["p"], st_fused2["s"], st_fused2["h"], loss, *_ = fstep2(
+            st_fused2["p"], st_fused2["s"], st_fused2["h"], existing, missing, gt,
+            np.uint32(i), epoch, num_points=2048,
+        )
+        return loss
+
+    variants["fused+mom16"] = fused2_dispatch
+
     # warm up everything first (compiles), then interleave timed windows
     for name, d in variants.items():
         for i in range(WARMUP):
