@@ -7,7 +7,13 @@ Mirrors the reference's ``datasets/`` capability surface
 
 from hyperpocket_tpu.data.base import Dataset, get_datasets
 from hyperpocket_tpu.data.loader import BatchLoader
-from hyperpocket_tpu.data.plyio import load_ply, save_ply
+from hyperpocket_tpu.data.plyio import (
+    ListProperty,
+    load_ply,
+    load_ply_elements,
+    save_ply,
+    save_ply_elements,
+)
 from hyperpocket_tpu.data.slicer import HyperPlane, slice_point_cloud
 from hyperpocket_tpu.data.category_mapping import (
     synth_id_to_category,
@@ -19,8 +25,11 @@ __all__ = [
     "Dataset",
     "get_datasets",
     "BatchLoader",
+    "ListProperty",
     "load_ply",
+    "load_ply_elements",
     "save_ply",
+    "save_ply_elements",
     "HyperPlane",
     "slice_point_cloud",
     "synth_id_to_category",

@@ -7,6 +7,7 @@ import numpy as np
 import pytest
 
 from hyperpocket_tpu.data import load_ply, save_ply, slice_point_cloud
+from hyperpocket_tpu.data import plyio
 from hyperpocket_tpu.data.base import get_datasets, resample_pcd
 from hyperpocket_tpu.data.loader import BatchLoader, collate
 from hyperpocket_tpu.data.shapenet import MissingShapeNetDataset
@@ -387,3 +388,78 @@ def test_ply_truncated_vertex_list_raises_parse_error(tmp_path):
         fh.write(body)
     with pytest.raises(PlyParseError):
         _load_ply_numpy(p)
+
+
+# --- general element/property PLY API (plyfile's full envelope) ------------
+
+
+def _mesh_elements():
+    verts = [
+        ("x", np.array([0.0, 1.0, 0.5, 0.25], np.float32)),
+        ("y", np.array([0.0, 0.0, 1.0, 0.5], np.float32)),
+        ("z", np.array([0.0, 0.0, 0.0, 1.0], np.float32)),
+        ("red", np.array([255, 0, 0, 128], np.uint8)),
+        ("quality", np.array([0.5, -1.25, 3.75, 0.0], np.float64)),
+    ]
+    faces = [
+        ("vertex_indices", plyio.ListProperty(
+            [[0, 1, 2], [0, 2, 3], [0, 1, 2, 3]], "uchar", "int")),
+        ("flags", np.array([1, 2, 3], np.int16)),
+    ]
+    edges = [
+        ("v1", np.array([0, 1], np.int32)),
+        ("v2", np.array([1, 2], np.int32)),
+    ]
+    return [("vertex", verts), ("face", faces), ("edge", edges)]
+
+
+@pytest.mark.parametrize("fmt", ["ascii", "binary_little_endian", "binary_big_endian"])
+def test_ply_elements_roundtrip(tmp_path, fmt):
+    """Arbitrary elements + scalar/list properties survive a write/read cycle
+    in every format (vendored plyfile envelope, utils/plyfile.py:364-916)."""
+    path = str(tmp_path / f"mesh_{fmt}.ply")
+    elements = _mesh_elements()
+    plyio.save_ply_elements(path, elements, fmt=fmt, comments=["made by test"])
+    back = plyio.load_ply_elements(path)
+    assert [n for n, _ in back] == ["vertex", "face", "edge"]
+    for (_, want_props), (_, got_props) in zip(elements, back):
+        assert [p for p, _ in got_props] == [p for p, _ in want_props]
+        for (_, want), (_, got) in zip(want_props, got_props):
+            if isinstance(want, plyio.ListProperty):
+                assert got == want
+            else:
+                assert got.dtype == np.asarray(want).dtype
+                np.testing.assert_array_equal(got, want)
+
+
+def test_ply_elements_vertex_readable_by_pipeline_reader(tmp_path):
+    """A general-API mesh's vertex block is readable by the (N, 3) loader."""
+    path = str(tmp_path / "mesh.ply")
+    elements = _mesh_elements()
+    plyio.save_ply_elements(path, elements, fmt="binary_little_endian")
+    pts = plyio.load_ply(path)
+    np.testing.assert_allclose(pts[:, 0], elements[0][1][0][1])
+    np.testing.assert_allclose(pts[:, 2], elements[0][1][2][1])
+
+
+def test_ply_elements_list_count_value_types(tmp_path):
+    """Non-default list count/value types are preserved (plyfile.py:670)."""
+    path = str(tmp_path / "wide.ply")
+    lp = plyio.ListProperty([[1.5, 2.5], [3.5]], "ushort", "double")
+    plyio.save_ply_elements(path, [("samples", [("vals", lp)])],
+                            fmt="binary_little_endian")
+    (_, props), = plyio.load_ply_elements(path)
+    got = props[0][1]
+    assert got.count_type == "ushort" and got.value_type == "double"
+    assert got == lp
+    # and the header declares them
+    header = open(path, "rb").read(200).decode("ascii", "replace")
+    assert "property list ushort double vals" in header
+
+
+def test_ply_elements_mismatched_lengths_raise(tmp_path):
+    with pytest.raises(ValueError, match="lengths differ"):
+        plyio.save_ply_elements(
+            str(tmp_path / "bad.ply"),
+            [("vertex", [("x", np.zeros(3, np.float32)),
+                         ("y", np.zeros(2, np.float32))])])
