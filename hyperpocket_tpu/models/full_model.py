@@ -132,6 +132,25 @@ class FullModel:
         )
         return params
 
+    def serving_params(self, params: dict) -> dict:
+        """Pre-cast floating param leaves to ``compute_dtype`` for serving.
+
+        ``apply`` casts the fp32 master params at use, which re-reads the
+        full fp32 tree from HBM on EVERY call (the (2048, 19011) head alone
+        is 156 MB). For inference serving, cast once and reuse: ``apply``'s
+        at-use cast becomes a no-op on already-``compute_dtype`` leaves, and
+        the numerics are identical (same single fp32->bf16 rounding).
+        Training must keep the fp32 master copy (optimizer state contract).
+        """
+        cd = jnp.dtype(self.compute_dtype)
+        if cd == jnp.dtype(jnp.float32):
+            return params
+        return jax.tree_util.tree_map(
+            lambda a: jnp.asarray(a, cd)
+            if jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating) else a,
+            params,
+        )
+
     # ------------------------------------------------------------------
     def _get_latent(self, params, existing, missing, key, training, noise, eps=None):
         """Mode-specific latent composition (full_model.py:98-152).

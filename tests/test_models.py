@@ -418,3 +418,44 @@ class TestSparsePoolVJP:
             np.asarray(_conv_pooled_sparse(params["conv"], x)),
             np.asarray(jnp.max(_conv_stack(params["conv"], x), axis=1)),
         )
+
+
+def test_serving_params_bit_identical_inference():
+    """Pre-cast serving params reproduce the per-call-cast apply bit-exactly
+    (the at-use cast is a no-op on already-compute_dtype leaves), and the
+    fp32 model returns the tree unchanged."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from hyperpocket_tpu.models import FullModel
+
+    cfg = {
+        "random_encoder": {"output_size": 16, "use_bias": True, "relu_slope": 0.2},
+        "real_encoder": {"output_size": 16, "use_bias": True, "relu_slope": 0.2},
+        "hyper_network": {"use_bias": True, "relu_slope": 0.2},
+        "target_network": {"use_bias": True, "relu_slope": 0.2,
+                           "freeze_layers_learning": False,
+                           "layer_out_channels": [8, 16, 8]},
+        "target_network_input": {"constant": False,
+                                 "normalization": {"enable": False,
+                                                   "type": "progressive", "epoch": 100}},
+    }
+    m16 = FullModel.from_config({**cfg, "compute_dtype": "bfloat16"})
+    m32 = FullModel.from_config(cfg)
+    params = m32.init(jax.random.key(0))
+    assert m32.serving_params(params) is params
+
+    sp = m16.serving_params(params)
+    assert sp["hyper_network"]["heads"]["w"].dtype == jnp.bfloat16
+
+    rng = np.random.default_rng(0)
+    existing = jnp.asarray(rng.standard_normal((4, 32, 3)), jnp.float32) * 0.3
+    noise = jnp.asarray(rng.standard_normal((4, 16)), jnp.float32) * 0.1
+    key, ep = jax.random.key(1), jnp.asarray(5.0)
+
+    ref = m16.apply(params, existing, None, key, ep, num_output_points=64,
+                    training=False, noise=noise)
+    got = m16.apply(sp, existing, None, key, ep, num_output_points=64,
+                    training=False, noise=noise)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
