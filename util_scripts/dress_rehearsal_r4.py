@@ -5,19 +5,28 @@ Pipeline (run after the 400-epoch training pass of
 ``results/dress_rehearsal_r4/config.json``):
 
   make_synthetic_3depn -> generate_partial_dataset -> cli training ->
-  THIS SCRIPT (experiments) -> summary.json
+  THIS SCRIPT (experiments) -> experiments_summary.json
 
-``completion3d_submission`` expects a Completion3D-style test dict with an
-``"all"`` key (reference core/experiments.py:228-247 is only ever invoked
-under config_completion.json.sample); the rehearsal feeds it the
-concatenated 3depn test categories under that key so the submission-zip
-path runs against real trained weights.
+The experiments run in three scoped passes, mirroring how a reference user
+invokes them (each reference config is per-class; core/main.py:176-188 hands
+every registered experiment the same test dict, so the dict must be shaped
+for the experiments it feeds):
+
+  1. chair-only dict: fixed, compute_mmd_tmd_uhd (consumes fixed/, requires
+     a single category), evaluate_generativity, same_model_different_slices
+  2. chair+airplane dict: merge_different_categories (needs both by name)
+  3. {"all": concat} dict: completion3d_submission (reference
+     core/experiments.py:228-247 is only ever invoked under
+     config_completion.json.sample whose test dict has an "all" key; the
+     rehearsal feeds it the concatenated 3depn test categories so the
+     submission-zip path runs against real trained weights)
 
 Usage: PYTHONPATH=/root/.axon_site:/root/repo python util_scripts/dress_rehearsal_r4.py
 """
 
 from __future__ import annotations
 
+import copy
 import json
 import os
 import sys
@@ -46,6 +55,14 @@ class _ConcatDataset:
         raise IndexError(idx)
 
 
+def _scoped_config(config, names):
+    """Config with only ``names`` executing (others keep settings, off)."""
+    out = copy.deepcopy(config)
+    for name, ex_cfg in out["experiments"]["settings"].items():
+        ex_cfg["execute"] = name in names
+    return out
+
+
 def main():
     from hyperpocket_tpu.data import get_datasets
     from hyperpocket_tpu.eval.experiments import run_experiments
@@ -57,16 +74,29 @@ def main():
     _, _, test_dict = get_datasets(
         {**config["dataset"], "classes": ["03001627", "02691156"]}
     )
-    test_dict["all"] = _ConcatDataset(test_dict.values())
     sizes = {k: len(v) for k, v in test_dict.items()}
     print("test datasets:", sizes, flush=True)
 
+    chair_only = {"chair": test_dict["chair"]}
+    all_concat = {"all": _ConcatDataset(test_dict.values())}
+
     exp_dir = join(OUT, "experiments")
     os.makedirs(exp_dir, exist_ok=True)
+    passes = [
+        (["fixed", "compute_mmd_tmd_uhd", "evaluate_generativity",
+          "same_model_different_slices"], chair_only),
+        (["merge_different_categories"], test_dict),
+        (["completion3d_submission"], all_concat),
+    ]
     t0 = time.monotonic()
-    run_experiments(config, exp_dir, datasets=test_dict)
-    wall = time.monotonic() - t0
-    print(f"all experiments: {wall:.1f}s", flush=True)
+    wall = {}
+    for names, datasets in passes:
+        t1 = time.monotonic()
+        run_experiments(_scoped_config(config, names), exp_dir, datasets=datasets)
+        wall["+".join(names)] = round(time.monotonic() - t1, 1)
+        print(f"pass {names}: {wall['+'.join(names)]}s", flush=True)
+    total_wall = time.monotonic() - t0
+    print(f"all experiments: {total_wall:.1f}s", flush=True)
 
     artifacts = {}
     for name in sorted(os.listdir(exp_dir)):
@@ -78,13 +108,18 @@ def main():
     summary = {
         "stage": "experiments",
         "test_sizes": sizes,
-        "experiments_wall_s": round(wall, 1),
+        "experiments_wall_s": round(total_wall, 1),
+        "pass_wall_s": wall,
         "artifact_counts": artifacts,
     }
-    mmd_path = join(exp_dir, "compute_mmd_tmd_uhd")
-    for f in os.listdir(mmd_path) if os.path.isdir(mmd_path) else []:
-        if f.endswith("res.json"):
-            summary["mmd_tmd_uhd"] = json.load(open(join(mmd_path, f)))
+    for sub, fname, key in [
+        ("compute_mmd_tmd_uhd", "res.json", "mmd_tmd_uhd"),
+        ("evaluate_generativity", "eval_gen_by_cat.json", "eval_gen_by_cat"),
+    ]:
+        d = join(exp_dir, sub)
+        for f in os.listdir(d) if os.path.isdir(d) else []:
+            if f.endswith(fname):
+                summary[key] = json.load(open(join(d, f)))
     with open(join(OUT, "experiments_summary.json"), "w") as fh:
         json.dump(summary, fh, indent=1)
     print(json.dumps(summary, indent=1))
