@@ -128,6 +128,9 @@ def run_bench(batch: int = 256, iters: int = 60, warmup: int = 5) -> dict:
     # Serving mode also folds keys into the TPU's hardware generator (the
     # rbg impl, config training.prng_impl): the per-call (B, 2048, 3) ball
     # sample is ~2.8x cheaper than threefry. fp32 parity mode keeps threefry.
+    # Params are pre-cast once via serving_params (bit-identical to the
+    # at-use cast — test_models.py) so each dispatch doesn't re-stream the
+    # fp32 master tree (the (2048, 19011) head alone is 156 MB) from HBM.
     @jax.jit
     def complete_bf16(params, existing, noise, key, epoch):
         return model_bf16.apply(
@@ -135,11 +138,12 @@ def run_bench(batch: int = 256, iters: int = 60, warmup: int = 5) -> dict:
             num_output_points=2048, training=False, noise=noise,
         )
 
+    serving_p = model_bf16.serving_params(params)
     for i in range(warmup):
-        out = complete_bf16(params, existing, noise, jax.random.key(i, impl="rbg"), epoch)
+        out = complete_bf16(serving_p, existing, noise, jax.random.key(i, impl="rbg"), epoch)
     np.asarray(jax.device_get(jnp.sum(out)))
     bf16_dt = _timed_windows(
-        lambda i: complete_bf16(params, existing, noise, jax.random.key(100 + i, impl="rbg"), epoch),
+        lambda i: complete_bf16(serving_p, existing, noise, jax.random.key(100 + i, impl="rbg"), epoch),
         lambda out: jnp.sum(out),
         iters,
     )
@@ -158,7 +162,7 @@ def run_bench(batch: int = 256, iters: int = 60, warmup: int = 5) -> dict:
 
     train_iters = max(iters // 2, 20)
 
-    def measure_train(step_fn):
+    def measure_train(step_fn, opt_state=opt_state):
         # steps donate (params, opt_state); thread fresh copies so the
         # inference benchmark's `params` buffers are never donated away.
         st = {
@@ -189,6 +193,14 @@ def run_bench(batch: int = 256, iters: int = 60, warmup: int = 5) -> dict:
 
     step_bf16 = make_train_step(model_bf16, tx, loss_coef=0.05, prng_impl="rbg")
     train_bf16_dt = measure_train(step_bf16)
+
+    # bf16 Adam moments (optimizer.moment_dtype config option; convergence
+    # verified equivalent on the ellipsoid corpus — README): halves the
+    # optimizer-state traffic of the (2048, 19011) head's moment tensors.
+    tx_m16 = make_optimizer({"type": "Adam", "hyperparams": {"lr": 1e-4}},
+                            moment_dtype="bfloat16")
+    step_bf16_m16 = make_train_step(model_bf16, tx_m16, loss_coef=0.05, prng_impl="rbg")
+    train_bf16_m16_dt = measure_train(step_bf16_m16, tx_m16.init(params))
 
     # ---- loss-path kernels (B=64, N=M=2048: the metric pipelines' shapes) --
     from hyperpocket_tpu.ops.emd import match_cost
@@ -228,6 +240,7 @@ def run_bench(batch: int = 256, iters: int = 60, warmup: int = 5) -> dict:
         "train_mfu_vs_bf16_peak": round(train_tflops * 1e12 / (V5E_BF16_PEAK_FLOPS * n_devices), 4),
         "train_bf16_step_ms": round(1e3 * train_bf16_dt, 3),
         "train_bf16_clouds_per_sec": round(train_batch / train_bf16_dt, 1),
+        "train_bf16_mom16_step_ms": round(1e3 * train_bf16_m16_dt, 3),
         "emd_ms_per_sample": round(1e3 * emd_dt / (emd_iters * kb), 4),
         "chamfer_value_and_grad_ms_b64": round(1e3 * cvg_dt / cvg_iters, 3),
     }
