@@ -114,6 +114,47 @@ def _cps_bwd(res, dpooled):
 _conv_pooled_sparse.defvjp(_cps_fwd, _cps_bwd)
 
 
+@jax.custom_vjp
+def _conv_pooled_sparse_fused(conv_params: list, x: jax.Array) -> jax.Array:
+    """Flash-style trunk: fused Pallas forward + the sparse XLA backward.
+
+    Same contract as ``_conv_pooled_sparse`` but the forward runs the fused
+    trunk kernel (ops/pallas_encoder.py) so no (B, N, C) activation touches
+    HBM; the kernel emits the pool's first-argmax for the backward's
+    virtual-row routing. bf16-only (the kernel runs single-pass bf16 MXU
+    dots; kernel-vs-XLA outputs agree to bf16 rounding, not bitwise, so this
+    is gated to the bf16 compute mode whose convergence tolerance already
+    absorbs rounding-level reroutes).
+    """
+    from hyperpocket_tpu.ops.pallas_encoder import trunk_pooled
+
+    return trunk_pooled(conv_params, x, interpret=jax.default_backend() != "tpu")
+
+
+def _cpsf_fwd(conv_params, x):
+    from hyperpocket_tpu.ops.pallas_encoder import trunk_pooled_argmax
+
+    pooled, amax = trunk_pooled_argmax(
+        conv_params, x, interpret=jax.default_backend() != "tpu"
+    )
+    return pooled, (conv_params, x, amax)
+
+
+_conv_pooled_sparse_fused.defvjp(_cpsf_fwd, _cps_bwd)
+
+
+def _fused_train_fwd_enabled() -> bool:
+    """The fused training forward defaults on for TPU bf16; HPCD_TRUNK_FUSED_FWD
+    overrides (0/1 — 1 also enables the interpret-mode kernel off-TPU, for
+    tests)."""
+    import os
+
+    v = os.environ.get("HPCD_TRUNK_FUSED_FWD")
+    if v is not None:
+        return v != "0"
+    return jax.default_backend() == "tpu"
+
+
 def _trunk(params: dict, x: jax.Array, *, fast: bool = False) -> jax.Array:
     """x (B, N, 3) -> pooled features (B, 512).
 
@@ -133,7 +174,11 @@ def _trunk(params: dict, x: jax.Array, *, fast: bool = False) -> jax.Array:
             params["conv"], x, interpret=jax.default_backend() != "tpu"
         )
     elif x.shape[1] >= 2 * params["conv"][-1]["w"].shape[1]:
-        pooled = _conv_pooled_sparse(params["conv"], x)
+        if (x.dtype == jnp.bfloat16 and x.shape[1] % 8 == 0
+                and _fused_train_fwd_enabled()):
+            pooled = _conv_pooled_sparse_fused(params["conv"], x)
+        else:
+            pooled = _conv_pooled_sparse(params["conv"], x)
     else:
         pooled = jnp.max(_conv_stack(params["conv"], x), axis=1)  # encoder.py:44
     return jax.nn.relu(apply_dense(params["fc"], pooled))

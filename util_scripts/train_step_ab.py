@@ -59,6 +59,9 @@ def timed(dispatch) -> float:
 def main():
     enable_compile_cache()
     jax.config.update("jax_default_matmul_precision", "highest")
+    import os
+
+    os.environ["HPCD_TRUNK_FUSED_FWD"] = "0"  # baseline variants: XLA trunk fwd
     import optax
 
     model = FullModel.from_config({**FLAGSHIP_CONFIG, "compute_dtype": "bfloat16"})
@@ -175,6 +178,29 @@ def main():
         return loss
 
     variants["fused+mom16"] = fused2_dispatch
+
+    # flash trunk: fused Pallas forward (pooled+argmax, zero activation HBM)
+    # + the sparse XLA backward (round-4 candidate #3). Env toggle is read at
+    # trace time, so trace this variant NOW with it on, then restore.
+    import os
+
+    os.environ["HPCD_TRUNK_FUSED_FWD"] = "1"
+    tx_ff = make_optimizer(opt_cfg, moment_dtype="bfloat16")
+    step_ff = make_train_step(model, tx_ff, 0.05, "rbg")
+    st_ff = mk_state(tx_ff)
+    ff_dispatch = step_dispatch(step_ff, st_ff)
+    out = ff_dispatch(0)
+    np.asarray(jax.device_get(out))
+
+    @jax.jit
+    def loss_only_ff(p, i):
+        key = jax.random.key(i, impl="rbg")
+        return loss_fn(p, key)[0]
+
+    np.asarray(jax.device_get(loss_only_ff(st_full["p"], np.uint32(0))))
+    os.environ["HPCD_TRUNK_FUSED_FWD"] = "0"
+    variants["ffwd+mom16"] = ff_dispatch
+    variants["loss_only_ff"] = lambda i: loss_only_ff(st_full["p"], np.uint32(i))
 
     # warm up everything first (compiles), then interleave timed windows
     for name, d in variants.items():
