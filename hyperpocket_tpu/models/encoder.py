@@ -144,15 +144,19 @@ _conv_pooled_sparse_fused.defvjp(_cpsf_fwd, _cps_bwd)
 
 
 def _fused_train_fwd_enabled() -> bool:
-    """The fused training forward defaults on for TPU bf16; HPCD_TRUNK_FUSED_FWD
-    overrides (0/1 — 1 also enables the interpret-mode kernel off-TPU, for
-    tests)."""
+    """Opt-in via HPCD_TRUNK_FUSED_FWD=1 (read at trace time).
+
+    MEASURED NEUTRAL, so off by default: at B=64 N=1024 bf16 on a quiet v5e
+    the fused forward saved only 0.054 ms of the 2.49 ms forward and the full
+    step was 7.19 vs 7.14 ms (util_scripts/train_step_ab.py, interleaved
+    in-process windows) — the XLA trunk chain at training shapes is already
+    near its traffic floor and the argmax bookkeeping eats the fusion win.
+    Kept (with tests) as the measured answer to the flash-style trunk-pair
+    candidate; enabling also trades exact primal/recompute agreement for
+    bf16-rounding-level agreement (see _conv_pooled_sparse_fused)."""
     import os
 
-    v = os.environ.get("HPCD_TRUNK_FUSED_FWD")
-    if v is not None:
-        return v != "0"
-    return jax.default_backend() == "tpu"
+    return os.environ.get("HPCD_TRUNK_FUSED_FWD") == "1"
 
 
 def _trunk(params: dict, x: jax.Array, *, fast: bool = False) -> jax.Array:
