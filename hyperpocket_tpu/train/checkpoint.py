@@ -99,6 +99,31 @@ def find_latest_epoch(dirpath: str) -> int:
     return max(epochs) if epochs else 0
 
 
+def find_latest_resumable_epoch(weights_path: str, metrics_path: str) -> int:
+    """Max epoch with a COMPLETE resume state: model + optimizer + metrics.
+
+    Crash-resume needs all four files; best-val saves write the model file
+    alone (``{epoch}_model.npz`` with no ``_O.npz``), and under async
+    checkpointing with drop_if_busy a model save can land without its
+    optimizer twin. Resuming from ``find_latest_epoch`` then crashes on the
+    missing file (observed: a wedged run whose newest weights entry was a
+    model-only best-val save). Experiments keep using ``find_latest_epoch``
+    — they restore params only, reference utils/util.py:13-23 semantics.
+    """
+    if not exists(weights_path):
+        return 0
+    epochs = [int(m.group("n")) for f in listdir(weights_path) if (m := _EPOCH_RE.match(f))]
+    for epoch in sorted(set(epochs), reverse=True):
+        if all(exists(p) for p in (
+            join(weights_path, f"{epoch:05}_model.npz"),
+            join(weights_path, f"{epoch:05}_O.npz"),
+            join(metrics_path, f"{epoch:05}_train.npy"),
+            join(metrics_path, f"{epoch:05}_val.npy"),
+        )):
+            return epoch
+    return 0
+
+
 def resolve_restore_epoch(metrics_path: str, epoch: int, restore_policy,
                           weights_path: str | None = None) -> int:
     """Reference core/setup.py:80-101 policies: latest / best_val / int.

@@ -336,7 +336,7 @@ class Trainer:
         return np.uint32(self._seed_counter & 0xFFFFFFFF)
 
     def _maybe_restore(self):
-        latest = ckpt.find_latest_epoch(self.weights_path)
+        latest = ckpt.find_latest_resumable_epoch(self.weights_path, self.metrics_path)
         if latest <= 0:
             return
         epoch, self.params, self.opt_state = ckpt.restore_model_state(

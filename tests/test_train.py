@@ -101,6 +101,27 @@ def test_find_latest_epoch(tmp_path):
     assert find_latest_epoch(str(tmp_path / "nowhere")) == 0
 
 
+def test_find_latest_resumable_epoch_skips_model_only_saves(tmp_path):
+    """A best-val (model-only) save newer than the last full checkpoint must
+    not be picked for crash-resume — observed: resume crashed on a missing
+    00104_O.npz after an async best-val save landed at 104 with full state
+    only at 99."""
+    from hyperpocket_tpu.train.checkpoint import find_latest_resumable_epoch
+
+    w = tmp_path / "weights"
+    m = tmp_path / "metrics"
+    w.mkdir(), m.mkdir()
+    for e in (94, 99):
+        (w / f"{e:05}_model.npz").touch()
+        (w / f"{e:05}_O.npz").touch()
+        (m / f"{e:05}_train.npy").touch()
+        (m / f"{e:05}_val.npy").touch()
+    (w / "00104_model.npz").touch()  # best-val, no optimizer twin
+    assert find_latest_resumable_epoch(str(w), str(m)) == 99
+    assert find_latest_epoch(str(tmp_path)) == 104  # reference semantics kept
+    assert find_latest_resumable_epoch(str(tmp_path / "no"), str(m)) == 0
+
+
 def test_resolve_restore_policies(tmp_path):
     val = np.array([[3.0], [1.0], [2.0]])
     np.save(tmp_path / "00003_val.npy", val)
