@@ -48,7 +48,7 @@ def _spawn(worker: str, pid: int | None, *, port: str, n_procs: int = 2,
 
 def test_two_process_distributed_init_and_reduce():
     procs = [_spawn(_WORKER, pid, port="12717") for pid in range(2)]
-    outs = [p.communicate(timeout=240)[0] for p in procs]
+    outs = [p.communicate(timeout=900)[0] for p in procs]
     for p, out in zip(procs, outs):
         assert p.returncode == 0, out[-2000:]
         assert "ok" in out
@@ -128,8 +128,8 @@ def test_two_process_sharded_train_step_matches_single():
     must match a single-process run on the same global batch."""
     procs = [_spawn(_TRAIN_WORKER, pid, port="12719") for pid in range(2)]
     single = _spawn(_TRAIN_WORKER, None, port="0", devices_per_proc=1)
-    outs = [p.communicate(timeout=300)[0] for p in procs]
-    out_single = single.communicate(timeout=300)[0]
+    outs = [p.communicate(timeout=900)[0] for p in procs]
+    out_single = single.communicate(timeout=900)[0]
     losses = []
     for p, out in zip(procs + [single], outs + [out_single]):
         assert p.returncode == 0, out[-2000:]
