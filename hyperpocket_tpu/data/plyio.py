@@ -263,6 +263,16 @@ class ListProperty:
         if count_type not in _PLY_TO_NUMPY or value_type not in _PLY_TO_NUMPY:
             raise ValueError(f"unknown PLY type {count_type!r}/{value_type!r}")
         self.rows = [np.asarray(r, dtype=_PLY_TO_NUMPY[value_type]) for r in rows]
+        # validate row lengths against the count dtype's range UP FRONT: an
+        # overflow discovered mid-write would leave a truncated/corrupt file
+        # (numpy>=2 raises on out-of-range casts, numpy 1.x silently wraps)
+        count_max = np.iinfo(_PLY_TO_NUMPY[count_type]).max
+        for i, r in enumerate(self.rows):
+            if len(r) > count_max:
+                raise ValueError(
+                    f"list row {i} has {len(r)} elements, which overflows "
+                    f"count_type {count_type!r} (max {count_max})"
+                )
         self.count_type = count_type
         self.value_type = value_type
 

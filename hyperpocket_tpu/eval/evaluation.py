@@ -72,8 +72,20 @@ def minimum_matching_distance(sample_pcs: np.ndarray, ref_pcs: np.ndarray, batch
     # exactly ONE (r_block, batch_size) shape is ever compiled — each fresh
     # block shape would otherwise pay a 20-40 s (erratic) Mosaic/XLA compile
     # over the tunnel, eating the dispatch-batching win on small corpora.
+    # Upload the sample corpus ONCE as pre-padded device chunks — re-slicing
+    # and re-uploading per ref block would push the whole corpus through the
+    # tunnel n_ref/r_block times (H2D bandwidth degrades episodically).
     sample_np = np.asarray(sample_pcs)
     ref_pcs = np.asarray(ref_pcs)
+    dev_chunks = []
+    for s0 in range(0, sample_np.shape[0], batch_size):
+        chunk_np = sample_np[s0 : s0 + batch_size]
+        s = chunk_np.shape[0]
+        if s < batch_size:
+            chunk_np = np.concatenate(
+                [chunk_np, np.repeat(chunk_np[-1:], batch_size - s, axis=0)]
+            )
+        dev_chunks.append((jnp.asarray(chunk_np), s))
     best = np.full(n_ref, np.inf, np.float64)
     for r0 in range(0, n_ref, r_block):
         refs_np = ref_pcs[r0 : r0 + r_block]
@@ -83,14 +95,8 @@ def minimum_matching_distance(sample_pcs: np.ndarray, ref_pcs: np.ndarray, batch
                 [refs_np, np.repeat(refs_np[-1:], r_block - r, axis=0)]
             )
         refs = jnp.asarray(refs_np)
-        for s0 in range(0, sample_np.shape[0], batch_size):
-            chunk_np = sample_np[s0 : s0 + batch_size]
-            s = chunk_np.shape[0]
-            if s < batch_size:
-                chunk_np = np.concatenate(
-                    [chunk_np, np.repeat(chunk_np[-1:], batch_size - s, axis=0)]
-                )
-            blk = np.asarray(best_in_block(refs, jnp.asarray(chunk_np), s))
+        for chunk, s in dev_chunks:
+            blk = np.asarray(best_in_block(refs, chunk, s))
             np.minimum.at(best, np.arange(r0, r0 + r), blk[:r])
     matched = [float(v) for v in best]
     return float(np.mean(matched)), matched

@@ -197,6 +197,12 @@ def _generate_completion_sets(ctx: ExperimentContext, existing_objs, n_gen: int,
         group = max(1, dispatch_clouds // block)
         for g0 in range(0, len(entries), group):
             chunk = entries[g0 : g0 + group]
+            n_real = len(chunk)
+            if n_real < group:
+                # pad with the last entry so ONE (group, block, ...) shape is
+                # ever compiled (fresh shapes pay erratic multi-10s Mosaic
+                # compiles over the tunnel); pad outputs are discarded.
+                chunk = chunk + [chunk[-1]] * (group - n_real)
             ex = np.stack([
                 np.broadcast_to(existing_objs[o], (block,) + existing_objs[o].shape)
                 for o, *_ in chunk
@@ -208,7 +214,7 @@ def _generate_completion_sets(ctx: ExperimentContext, existing_objs, n_gen: int,
                 float(mean), float(std), jnp.asarray(float(ctx.epoch)),
                 num_points, block,
             ))
-            for (o, start, b, _, _), r in zip(chunk, rec):
+            for (o, start, b, _, _), r in zip(chunk[:n_real], rec[:n_real]):
                 out[o, start : start + b] = r
     return out
 

@@ -278,5 +278,7 @@ def jsd_between_point_cloud_sets(sample_pcs, ref_pcs=None, resolution: int = 28,
     object vs the category population) skip recomputing the ref grid."""
     sample_grid = entropy_of_occupancy_grid(sample_pcs, resolution, True)[1]
     if ref_grid is None:
+        if ref_pcs is None:
+            raise ValueError("need ref_pcs or ref_grid")
         ref_grid = entropy_of_occupancy_grid(ref_pcs, resolution, True)[1]
     return jensen_shannon_divergence(sample_grid, ref_grid)

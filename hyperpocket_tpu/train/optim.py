@@ -101,6 +101,11 @@ def make_optimizer(opt_config: dict, trainable_mask=None,
         wd = float(hp.pop("weight_decay", 0.0))
         amsgrad = bool(hp.pop("amsgrad", False))
         moment_dtype = hp.pop("moment_dtype", moment_dtype)
+        if amsgrad and moment_dtype is not None:
+            raise ValueError(
+                "moment_dtype is not supported with amsgrad=true "
+                "(scale_by_amsgrad keeps fp32 moments); drop one of the two"
+            )
 
         def build(learning_rate):
             parts = []

@@ -141,6 +141,24 @@ def main():
     variants["grad_only"] = lambda i: grad_only(st_full["p"], np.uint32(i))
     variants["loss_only"] = lambda i: loss_only(st_full["p"], np.uint32(i))
 
+    # chamfer isolation: same forward/backward graph with the NN-search term
+    # replaced by a cheap elementwise surrogate — grad_only minus this is the
+    # in-step cost of Chamfer fwd+bwd (standalone kernel timings over-count:
+    # XLA overlaps the NN sweeps with decode/backbone work in the real step).
+    def loss_fn_nochamfer(p, key):
+        rec, mu, sigma = model.apply(p, existing, missing, key, epoch,
+                                     num_output_points=2048, training=True)
+        return jnp.sum(rec * rec) * 1e-6 + kld_loss(mu, sigma, B), 0.0
+
+    @jax.jit
+    def grad_nochamfer(p, i):
+        key = jax.random.key(i, impl="rbg")
+        (loss, _), g = jax.value_and_grad(loss_fn_nochamfer, has_aux=True)(p, key)
+        leaves = jax.tree_util.tree_leaves(g)
+        return loss + sum(jnp.sum(jnp.abs(l[:1].ravel()[:8])) for l in leaves)
+
+    variants["grad_nochamfer"] = lambda i: grad_nochamfer(st_full["p"], np.uint32(i))
+
     # fused head-Adam (pallas dW+moment+param single pass, bf16 moments)
     from hyperpocket_tpu.train.trainer import init_head_adam_state, make_fused_train_step
 
@@ -218,6 +236,9 @@ def main():
     print(f"backward = grad_only - loss_only = {(results['grad_only'] - results['loss_only']) * 1e3:.3f} ms")
     print(f"head-training cost = full - frozen_head = {(results['full'] - results['frozen_head']) * 1e3:.3f} ms")
     print(f"mom_bf16 delta = {(results['full'] - results['mom_bf16']) * 1e3:.3f} ms")
+    if "grad_nochamfer" in results:
+        print(f"in-step chamfer fwd+bwd = grad_only - grad_nochamfer = "
+              f"{(results['grad_only'] - results['grad_nochamfer']) * 1e3:.3f} ms")
 
 
 if __name__ == "__main__":
