@@ -30,6 +30,9 @@ v5e-8 (BASELINE.md); per chip that is 1,250 clouds/sec, which is what
 from __future__ import annotations
 
 import json
+import os
+import subprocess
+import sys
 import time
 
 import jax
@@ -246,5 +249,58 @@ def run_bench(batch: int = 256, iters: int = 60, warmup: int = 5) -> dict:
     }
 
 
+def _wait_backend_healthy(max_wait_s: float) -> None:
+    """Bounded wait for the axon backend to answer a trivial roundtrip.
+
+    The remote backend can return UNAVAILABLE (or hang in init) for many
+    minutes after a client wedge — CLAUDE.md "CONCURRENT-CLIENT WEDGE".
+    Each probe is a short-lived subprocess so a hung backend init cannot
+    hang the bench process itself; killing an init-stuck probe is safe
+    (it holds no in-flight fetches). No-op on CPU backends. Progress goes
+    to stderr — stdout stays one JSON line.
+    """
+    from hyperpocket_tpu.utils.chip_lock import _platform_is_chip
+
+    if not _platform_is_chip() or max_wait_s <= 0:
+        return
+    probe = (
+        "import jax, numpy as np; "
+        "np.asarray(jax.device_get(jax.jit(lambda a: a * 2 + 1)"
+        "(jax.numpy.ones((8, 8))))); "
+        "print('HPCD_BENCH_HEALTHY')"
+    )
+    deadline = time.monotonic() + max_wait_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", probe],
+                capture_output=True, text=True, timeout=150,
+            )
+            if "HPCD_BENCH_HEALTHY" in (r.stdout or ""):
+                if attempt > 1:
+                    print(f"bench: backend healthy after {attempt} probes",
+                          file=sys.stderr, flush=True)
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        if time.monotonic() >= deadline:
+            print("bench: backend probe never succeeded within "
+                  f"{max_wait_s:.0f}s; proceeding anyway",
+                  file=sys.stderr, flush=True)
+            return
+        print(f"bench: backend unhealthy (probe {attempt}); retrying",
+              file=sys.stderr, flush=True)
+        time.sleep(30)
+
+
 if __name__ == "__main__":
-    print(json.dumps(run_bench()))
+    from hyperpocket_tpu.utils.chip_lock import chip_lock
+
+    # Serialize against any live training/experiments client, then wait out
+    # a recovering backend before spending the round-end bench attempt.
+    with chip_lock():
+        _wait_backend_healthy(
+            float(os.environ.get("HPCD_BENCH_HEALTH_WAIT_S", "900")))
+        print(json.dumps(run_bench()))

@@ -17,9 +17,17 @@ from hyperpocket_tpu.train.config import get_results_dir_path, parse_config
 
 
 def main(config: dict) -> None:
+    from hyperpocket_tpu.utils.chip_lock import chip_lock
     from hyperpocket_tpu.utils.compile_cache import enable_compile_cache
 
     enable_compile_cache(config.get("setup", {}).get("compile_cache"))
+    # One axon client at a time: a concurrent client exiting mid-fetch can
+    # wedge the remote TPU (utils/chip_lock.py). No-op on CPU backends.
+    with chip_lock():
+        _dispatch(config)
+
+
+def _dispatch(config: dict) -> None:
     run_mode = config["mode"]
     if run_mode == "training":
         from hyperpocket_tpu.train.trainer import Trainer

@@ -126,4 +126,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    from hyperpocket_tpu.utils.chip_lock import chip_lock
+
+    with chip_lock():
+        main()
