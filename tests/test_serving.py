@@ -1,0 +1,88 @@
+"""Serving export (hyperpocket_tpu/serving.py): jax.export roundtrip + CLI."""
+
+from __future__ import annotations
+
+import json
+import sys
+from os.path import exists, join
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, "tests")
+from test_train_integration import make_config  # noqa: E402
+
+from hyperpocket_tpu import serving
+from hyperpocket_tpu.models.full_model import FullModel
+from hyperpocket_tpu.train import checkpoint as ckpt
+from hyperpocket_tpu.train.config import get_results_dir_path
+
+B, N_EXIST, N_OUT = 2, 64, 128
+
+
+def _tiny_model():
+    cfg = make_config("/none", "/none")["full_model"]
+    model = FullModel.from_config(cfg)
+    params = model.init(jax.random.key(0))
+    return model, params
+
+
+def test_export_roundtrip_matches_direct_apply(tmp_path):
+    model, params = _tiny_model()
+    data = serving.export_completion(
+        model, params, batch=B, n_existing=N_EXIST, num_output_points=N_OUT,
+        epoch=50.0)
+    assert isinstance(data, bytes) and len(data) > 1000
+
+    f = serving.load_completion(data)
+    existing = np.random.default_rng(0).normal(size=(B, N_EXIST, 3)).astype(np.float32) * 0.3
+    noise = np.random.default_rng(1).normal(size=(B, model.get_noise_size())).astype(np.float32)
+    seed = np.uint32(7)
+    out = np.asarray(f(existing, noise, seed))
+    assert out.shape == (B, N_OUT, 3)
+
+    direct = serving.make_serving_fn(model, params, num_output_points=N_OUT,
+                                     epoch=50.0)
+    ref = np.asarray(direct(jnp.asarray(existing), jnp.asarray(noise),
+                            jnp.asarray(seed)))
+    np.testing.assert_allclose(out, ref, atol=1e-6)
+
+    # deterministic under a fixed seed; different seeds move the ball points
+    again = np.asarray(f(existing, noise, seed))
+    np.testing.assert_array_equal(out, again)
+    other = np.asarray(f(existing, noise, np.uint32(8)))
+    assert np.abs(other - out).max() > 0
+
+
+def test_cli_exports_from_checkpoint(tmp_path, capsys):
+    config = make_config(tmp_path / "data", tmp_path / "results")
+    model = FullModel.from_config(config["full_model"])
+    params = model.init(jax.random.key(config["setup"]["seed"]))
+
+    # stage a checkpoint in the exact training-results layout
+    training_dir = get_results_dir_path(config, "training")
+    opt_state = {"dummy": jnp.zeros((1,))}
+    ckpt.save_checkpoint(join(training_dir, "weights"), join(training_dir, "metrics"),
+                         3, params, opt_state, {"lr": 1e-3},
+                         [[1.0, 1.0, 0.0]], [[2.0]])
+
+    cfg_path = str(tmp_path / "cfg.json")
+    with open(cfg_path, "w") as fh:
+        json.dump(config, fh)
+    out_path = str(tmp_path / ("model" + serving.ARTIFACT_SUFFIX))
+
+    rc = serving.main(["-c", cfg_path, "--out", out_path, "--batch", str(B),
+                       "--n-existing", str(N_EXIST), "--points", str(N_OUT)])
+    assert rc == 0
+    assert exists(out_path) and exists(out_path + ".json")
+    meta = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert meta["restored_epoch"] == 3
+    assert meta["num_output_points"] == N_OUT
+
+    with open(out_path, "rb") as fh:
+        f = serving.load_completion(fh.read())
+    existing = np.zeros((B, N_EXIST, 3), np.float32)
+    noise = np.zeros((B, model.get_noise_size()), np.float32)
+    out = np.asarray(f(existing, noise, np.uint32(0)))
+    assert out.shape == (B, N_OUT, 3) and np.all(np.isfinite(out))
