@@ -32,14 +32,23 @@ from os.path import join
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from hyperpocket_tpu.models.full_model import FullModel
 
 ARTIFACT_SUFFIX = ".jaxexp"
 
 
+def _dp_mesh(n: int) -> Mesh:
+    devs = jax.devices()
+    if len(devs) < n:
+        raise ValueError(f"data_parallel={n} but only {len(devs)} devices")
+    return Mesh(np.array(devs[:n]).reshape(n), ("data",))
+
+
 def make_serving_fn(model: FullModel, params: dict, *, num_output_points: int = 2048,
-                    epoch: float = 1e9):
+                    epoch: float = 1e9, mesh: Mesh | None = None):
     """Jitted ``f(existing, noise, seed) -> completion`` with params closed over.
 
     ``epoch`` feeds the progressive ball normalization (clamped at full
@@ -47,11 +56,14 @@ def make_serving_fn(model: FullModel, params: dict, *, num_output_points: int = 
     training epoch to reproduce experiments-mode behaviour exactly. Params
     are pre-cast via ``serving_params`` so bf16 serving does not re-stream
     the fp32 master tree per call.
+
+    With ``mesh`` (a 1D ``("data",)`` mesh), the function is batch-sharded:
+    params replicated, existing/noise split on the batch axis, output
+    batch-sharded — serving DP over ICI with no collectives in the forward.
     """
     sparams = model.serving_params(params)
     epoch_arr = jnp.asarray(float(epoch), jnp.float32)
 
-    @jax.jit
     def completion(existing, noise, seed):
         key = jax.random.key(seed)
         return model.apply(
@@ -59,18 +71,41 @@ def make_serving_fn(model: FullModel, params: dict, *, num_output_points: int = 
             num_output_points=num_output_points, training=False, noise=noise,
         )
 
-    return completion
+    if mesh is None:
+        return jax.jit(completion)
+    repl = NamedSharding(mesh, P())
+    batched = NamedSharding(mesh, P("data"))
+    return jax.jit(
+        completion,
+        in_shardings=(batched, batched, repl),
+        out_shardings=batched,
+    )
 
 
 def export_completion(model: FullModel, params: dict, *, batch: int,
                       n_existing: int = 1024, num_output_points: int = 2048,
-                      epoch: float = 1e9) -> bytes:
-    """Serialize the completion forward for (batch, n_existing) inputs."""
+                      epoch: float = 1e9, data_parallel: int | None = None) -> bytes:
+    """Serialize the completion forward for (batch, n_existing) inputs.
+
+    ``data_parallel=N`` exports a batch-sharded function over an N-device
+    ``("data",)`` mesh (batch must divide N); the artifact then requires an
+    N-device assembly at load time and accepts/returns batch-sharded arrays.
+    """
+    mesh = None
+    sharding = None
+    if data_parallel is not None and data_parallel > 1:
+        if batch % data_parallel:
+            raise ValueError(f"batch {batch} not divisible by "
+                             f"data_parallel {data_parallel}")
+        mesh = _dp_mesh(data_parallel)
+        sharding = NamedSharding(mesh, P("data"))
     fn = make_serving_fn(model, params, num_output_points=num_output_points,
-                         epoch=epoch)
+                         epoch=epoch, mesh=mesh)
     specs = (
-        jax.ShapeDtypeStruct((batch, n_existing, 3), jnp.float32),
-        jax.ShapeDtypeStruct((batch, model.get_noise_size()), jnp.float32),
+        jax.ShapeDtypeStruct((batch, n_existing, 3), jnp.float32,
+                             sharding=sharding),
+        jax.ShapeDtypeStruct((batch, model.get_noise_size()), jnp.float32,
+                             sharding=sharding),
         jax.ShapeDtypeStruct((), jnp.uint32),
     )
     return bytes(jax.export.export(fn)(*specs).serialize())
@@ -93,6 +128,8 @@ def main(argv=None) -> int:
     ap.add_argument("--epoch", default=None,
                     help="restore policy: latest | best_val | <int> "
                          "(default: the config's experiments.epoch, else latest)")
+    ap.add_argument("--data-parallel", type=int, default=None,
+                    help="export batch-sharded over an N-device ('data',) mesh")
     args = ap.parse_args(argv)
 
     with open(args.config) as fh:
@@ -118,7 +155,8 @@ def main(argv=None) -> int:
 
     data = export_completion(
         model, params, batch=args.batch, n_existing=args.n_existing,
-        num_output_points=args.points, epoch=float(epoch))
+        num_output_points=args.points, epoch=float(epoch),
+        data_parallel=args.data_parallel)
     with open(args.out, "wb") as fh:
         fh.write(data)
     meta = {
@@ -129,6 +167,7 @@ def main(argv=None) -> int:
         "n_existing": args.n_existing,
         "num_output_points": args.points,
         "noise_size": model.get_noise_size(),
+        "data_parallel": args.data_parallel,
         "platform": jax.default_backend(),
         "compute_dtype": str(model.compute_dtype),
     }

@@ -9,6 +9,7 @@ from os.path import exists, join
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 sys.path.insert(0, "tests")
 from test_train_integration import make_config  # noqa: E402
@@ -53,6 +54,51 @@ def test_export_roundtrip_matches_direct_apply(tmp_path):
     np.testing.assert_array_equal(out, again)
     other = np.asarray(f(existing, noise, np.uint32(8)))
     assert np.abs(other - out).max() > 0
+
+
+def test_data_parallel_export_matches_single_device():
+    # conftest provides 8 virtual CPU devices; the DP artifact must return
+    # batch-sharded output identical to the unsharded serving fn.
+    model, params = _tiny_model()
+    n_dp, batch = 8, 8
+    data = serving.export_completion(
+        model, params, batch=batch, n_existing=N_EXIST,
+        num_output_points=N_OUT, epoch=50.0, data_parallel=n_dp)
+    f = serving.load_completion(data)
+
+    rng = np.random.default_rng(2)
+    existing = rng.normal(size=(batch, N_EXIST, 3)).astype(np.float32) * 0.3
+    noise = rng.normal(size=(batch, model.get_noise_size())).astype(np.float32)
+    seed = np.uint32(3)
+
+    mesh = serving._dp_mesh(n_dp)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    ex_s = jax.device_put(jnp.asarray(existing), NamedSharding(mesh, P("data")))
+    no_s = jax.device_put(jnp.asarray(noise), NamedSharding(mesh, P("data")))
+    out = f(ex_s, no_s, jnp.asarray(seed))
+    assert len(out.sharding.device_set) == n_dp
+
+    # exact vs the sharded jit (same computation as the artifact) ...
+    sharded = serving.make_serving_fn(model, params, num_output_points=N_OUT,
+                                      epoch=50.0, mesh=mesh)
+    np.testing.assert_array_equal(
+        np.asarray(out), np.asarray(sharded(ex_s, no_s, jnp.asarray(seed))))
+    # ... and within fp32 reduction-order noise of the single-device fn
+    # (partitioned matmul reductions reassociate; observed ~4e-5 on O(10)
+    # outputs)
+    single = serving.make_serving_fn(model, params, num_output_points=N_OUT,
+                                     epoch=50.0)
+    ref = np.asarray(single(jnp.asarray(existing), jnp.asarray(noise),
+                            jnp.asarray(seed)))
+    np.testing.assert_allclose(np.asarray(out), ref, atol=5e-4)
+
+
+def test_data_parallel_batch_divisibility():
+    model, params = _tiny_model()
+    with pytest.raises(ValueError, match="not divisible"):
+        serving.export_completion(model, params, batch=3, n_existing=N_EXIST,
+                                  num_output_points=N_OUT, data_parallel=2)
 
 
 def test_cli_exports_from_checkpoint(tmp_path, capsys):
