@@ -477,26 +477,14 @@ experiment_functions_dict = {
 def run_experiments(config: dict, result_dir: str, datasets=None) -> None:
     """Experiments-mode driver (reference core/main.py:176-188)."""
     from hyperpocket_tpu.data import get_datasets
-    from hyperpocket_tpu.train import checkpoint as ckpt
-    from hyperpocket_tpu.train.config import get_results_dir_path
+    from hyperpocket_tpu.train.checkpoint import restore_trained_model
     from hyperpocket_tpu.utils.logging_setup import seed_setup
 
     # seed python/numpy global RNGs before any experiment runs, mirroring the
     # reference's seed_setup before the mode switch (core/main.py:28)
     seed_setup(config["setup"]["seed"])
 
-    model = FullModel.from_config(config["full_model"])
-    params = model.init(jax.random.key(config["setup"]["seed"]))
-
-    training_dir = get_results_dir_path(config, "training")
-    weights_path = join(training_dir, "weights")
-    metrics_path = join(training_dir, "metrics")
-    latest = ckpt.find_latest_epoch(weights_path)
-    if latest <= 0:
-        raise FileNotFoundError(f"no weights found at {weights_path}")
-    epoch, params, _ = ckpt.restore_model_state(
-        weights_path, metrics_path, latest, config["experiments"].get("epoch", "latest"), params
-    )
+    model, params, epoch = restore_trained_model(config)
     log.info("restored epoch %d for experiments", epoch)
 
     if datasets is None:

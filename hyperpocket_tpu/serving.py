@@ -28,7 +28,6 @@ from __future__ import annotations
 import argparse
 import json
 import sys
-from os.path import join
 
 import jax
 import jax.numpy as jnp
@@ -88,7 +87,7 @@ def export_completion(model: FullModel, params: dict, *, batch: int,
     """Serialize the completion forward for (batch, n_existing) inputs.
 
     ``data_parallel=N`` exports a batch-sharded function over an N-device
-    ``("data",)`` mesh (batch must divide N); the artifact then requires an
+    ``("data",)`` mesh (N must divide batch); the artifact then requires an
     N-device assembly at load time and accepts/returns batch-sharded arrays.
     """
     mesh = None
@@ -135,28 +134,17 @@ def main(argv=None) -> int:
     with open(args.config) as fh:
         config = json.load(fh)
 
-    from hyperpocket_tpu.train import checkpoint as ckpt
-    from hyperpocket_tpu.train.config import get_results_dir_path
+    from hyperpocket_tpu.train.checkpoint import restore_trained_model
+    from hyperpocket_tpu.utils.chip_lock import chip_lock
 
-    model = FullModel.from_config(config["full_model"])
-    params = model.init(jax.random.key(config["setup"]["seed"]))
-
-    training_dir = get_results_dir_path(config, "training")
-    weights_path = join(training_dir, "weights")
-    metrics_path = join(training_dir, "metrics")
-    latest = ckpt.find_latest_epoch(weights_path)
-    if latest <= 0:
-        raise FileNotFoundError(f"no weights found at {weights_path}")
-    policy = args.epoch
-    if policy is None:
-        policy = config.get("experiments", {}).get("epoch", "latest")
-    epoch, params, _ = ckpt.restore_model_state(
-        weights_path, metrics_path, latest, policy, params)
-
-    data = export_completion(
-        model, params, batch=args.batch, n_existing=args.n_existing,
-        num_output_points=args.points, epoch=float(epoch),
-        data_parallel=args.data_parallel)
+    # One axon client at a time: restore + trace run on the device backend
+    # (utils/chip_lock.py). No-op on CPU.
+    with chip_lock():
+        model, params, epoch = restore_trained_model(config, args.epoch)
+        data = export_completion(
+            model, params, batch=args.batch, n_existing=args.n_existing,
+            num_output_points=args.points, epoch=float(epoch),
+            data_parallel=args.data_parallel)
     with open(args.out, "wb") as fh:
         fh.write(data)
     meta = {

@@ -180,6 +180,37 @@ def restore_model_state(weights_path: str, metrics_path: str, epoch: int, restor
     return epoch, params, opt_state
 
 
+def restore_trained_model(config: dict, restore_policy=None):
+    """(model, params, epoch) from a training config's results tree.
+
+    The shared restore used by experiments mode (reference
+    core/main.py:81-82,176-183) and the serving-export CLI: build the model
+    from ``config["full_model"]``, locate the training results dir, and
+    restore with ``restore_policy`` (default: the config's
+    ``experiments.epoch``, else ``latest``). Raises FileNotFoundError when
+    no checkpoint exists (the reference asserts the same).
+    """
+    import jax
+
+    from hyperpocket_tpu.models.full_model import FullModel
+    from hyperpocket_tpu.train.config import get_results_dir_path
+
+    model = FullModel.from_config(config["full_model"])
+    params = model.init(jax.random.key(config["setup"]["seed"]))
+
+    training_dir = get_results_dir_path(config, "training")
+    weights_path = join(training_dir, "weights")
+    metrics_path = join(training_dir, "metrics")
+    latest = find_latest_epoch(weights_path)
+    if latest <= 0:
+        raise FileNotFoundError(f"no weights found at {weights_path}")
+    if restore_policy is None:
+        restore_policy = config.get("experiments", {}).get("epoch", "latest")
+    epoch, params, _ = restore_model_state(
+        weights_path, metrics_path, latest, restore_policy, params)
+    return model, params, epoch
+
+
 def restore_metrics(metrics_path: str, epoch: int):
     """(train_losses, val_losses, best_val) — reference core/setup.py:104-107."""
     train = np.load(join(metrics_path, f"{epoch:05}_train.npy"), allow_pickle=True)

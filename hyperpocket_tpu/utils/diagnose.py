@@ -7,23 +7,28 @@ and what is the bulk D2H bandwidth (observed swinging ~2 s to ~115 s for
 the same ~470 MB fetch). This module packages them with the safety rules
 baked in:
 
-- Every probe is a SHORT-LIVED SUBPROCESS under a timeout: a backend stuck
-  in init hangs the probing process indefinitely, and an init-stuck client
-  holds no in-flight fetches so killing it is safe (killing a client WITH
-  in-flight fetches is what wedges the backend — never do that).
-- The diagnostic never takes the single-client chip lock; it REPORTS the
-  holder instead, so an operator diagnosing a wedged training run sees the
-  pid rather than queueing behind it. Probing while a client owns the chip
-  is itself a (small) wedge risk — the holder pid is printed first so the
-  operator can choose.
+- Every probe is a SUBPROCESS with staged deadlines. A backend stuck in
+  INIT is killed at ``--timeout-s`` — an init-stuck client holds no
+  in-flight fetches, so that kill is safe. Once the probe reports init
+  complete, it is NEVER killed (killing a client with fetches possibly in
+  flight is what wedges the backend): if dispatch exceeds
+  ``--dispatch-timeout-s`` the parent reports ``down`` and leaves the
+  probe running to finish or hang on its own, printing its pid.
+- The diagnostic never takes the single-client chip lock, and REFUSES to
+  probe while a live client holds it (a second concurrent axon client is
+  the documented wedge trigger). ``--force`` overrides for an operator who
+  has decided the risk is right, e.g. diagnosing a client that is itself
+  wedged.
 
-Output: one JSON line. Exit status: 0 healthy, 1 degraded (initializable
-but round-trip > ``--degraded-ms``), 2 down (probe failed or timed out).
+Output: one JSON line per probe. Exit status: 0 healthy, 1 degraded
+(initializable but round-trip > ``--degraded-ms``), 2 down, 3 refused
+(live chip-lock holder and no ``--force``).
 
 Usage::
 
-    python -m hyperpocket_tpu.diagnose             # init + latency
-    python -m hyperpocket_tpu.diagnose --bulk-mb 64  # + D2H bandwidth
+    python -m hyperpocket_tpu.diagnose              # init + latency
+    python -m hyperpocket_tpu.diagnose --bulk-mb 64 # + D2H bandwidth
+    python -m hyperpocket_tpu.diagnose --wait       # recovery poll
 """
 
 from __future__ import annotations
@@ -33,13 +38,15 @@ import json
 import os
 import subprocess
 import sys
+import threading
 import time
 from typing import Optional
 
 from hyperpocket_tpu.utils.chip_lock import DEFAULT_LOCK_PATH, _pid_alive
 
-# Runs inside the probe subprocess. Prints machine-readable lines; the
-# parent only trusts output that arrives before its own deadline.
+# Runs inside the probe subprocess. Prints machine-readable stage lines;
+# the parent applies the init deadline until HPCD_DIAG_INIT_OK appears and
+# the (kill-free) dispatch deadline after it.
 _PROBE_SRC = r"""
 import json, os, sys, time
 import jax, jax.numpy as jnp, numpy as np
@@ -55,6 +62,9 @@ if _plat:
 t0 = time.perf_counter()
 dev = jax.devices()
 init_s = time.perf_counter() - t0
+print("HPCD_DIAG_INIT_OK %.3f" % init_s, flush=True)
+# test hook: simulate a hung/slow dispatch phase
+time.sleep(float(os.environ.get("HPCD_DIAG_TEST_DISPATCH_SLEEP", "0")))
 f = jax.jit(lambda a: a * 2 + 1)
 x = jnp.ones((8, 8))
 np.asarray(jax.device_get(f(x)))  # warm compile, not timed
@@ -90,54 +100,92 @@ def lock_holder(path: str = DEFAULT_LOCK_PATH) -> Optional[int]:
     return pid if pid and _pid_alive(pid) else None
 
 
-def run_probe(timeout_s: float, bulk_mb: float = 0.0) -> dict:
-    """One bounded subprocess probe; returns the diagnostic dict.
+def run_probe(timeout_s: float, bulk_mb: float = 0.0,
+              dispatch_timeout_s: float = 900.0) -> dict:
+    """One staged subprocess probe; returns the diagnostic dict.
 
-    ``status`` is ``healthy``/``degraded``/``down`` (degraded threshold is
-    applied by the caller; here it is only ``down`` vs responsive).
+    ``timeout_s`` bounds backend INIT (an init-stuck probe is killed —
+    safe, it holds no fetches). After init the probe is never killed: past
+    ``dispatch_timeout_s`` the parent reports ``down`` with the probe's pid
+    and leaves it running (killing a mid-fetch client can wedge the
+    backend for every future client).
     """
     argv = [sys.executable, "-c", _PROBE_SRC]
     if bulk_mb > 0:
         argv.append(str(bulk_mb))
+    proc = subprocess.Popen(argv, stdout=subprocess.PIPE,
+                            stderr=subprocess.STDOUT, text=True)
+    lines: list[str] = []
+    eof = threading.Event()
+
+    def _reader():
+        assert proc.stdout is not None
+        for line in proc.stdout:
+            lines.append(line.rstrip("\n"))
+        eof.set()
+
+    threading.Thread(target=_reader, daemon=True).start()
+
     t0 = time.monotonic()
-    try:
-        r = subprocess.run(argv, capture_output=True, text=True,
-                           timeout=timeout_s)
-    except subprocess.TimeoutExpired:
-        return {"status": "down",
-                "error": f"probe hung >{timeout_s:.0f}s (backend init stuck "
-                         "or dispatch wedged)"}
+    while True:
+        if eof.wait(0.2) and proc.poll() is not None:
+            break
+        elapsed = time.monotonic() - t0
+        init_ok = any(ln.startswith("HPCD_DIAG_INIT_OK") for ln in lines)
+        if not init_ok and elapsed > timeout_s:
+            proc.kill()  # init-stuck: holds no in-flight fetches, safe
+            proc.wait()
+            return {"status": "down",
+                    "error": f"backend init unresponsive for {timeout_s:.0f}s "
+                             "(init-stuck probe killed; no fetches in flight)"}
+        if init_ok and elapsed > dispatch_timeout_s:
+            return {"status": "down", "probe_pid": proc.pid,
+                    "error": f"dispatch hung >{dispatch_timeout_s:.0f}s after "
+                             f"init; probe LEFT RUNNING (pid {proc.pid}) — "
+                             "killing a mid-fetch client can wedge the backend"}
+
     wall = time.monotonic() - t0
-    for line in (r.stdout or "").splitlines():
+    for line in lines:
         if line.startswith("HPCD_DIAG "):
             out = json.loads(line[len("HPCD_DIAG "):])
             out["status"] = "up"
             out["probe_wall_s"] = round(wall, 2)
             return out
-    tail = ((r.stderr or "") + (r.stdout or "")).strip().splitlines()
-    return {"status": "down", "probe_rc": r.returncode,
-            "error": tail[-1][:300] if tail else "no output"}
+    return {"status": "down", "probe_rc": proc.returncode,
+            "error": lines[-1][:300] if lines else "no output"}
 
 
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("--timeout-s", type=float, default=150.0,
-                    help="probe subprocess deadline (default 150)")
+                    help="backend-init deadline; an init-stuck probe is "
+                         "killed (default 150)")
+    ap.add_argument("--dispatch-timeout-s", type=float, default=900.0,
+                    help="post-init budget; past it the probe is reported "
+                         "down but NEVER killed (default 900)")
     ap.add_argument("--bulk-mb", type=float, default=0.0,
                     help="also time a D2H fetch of this many MB")
     ap.add_argument("--degraded-ms", type=float, default=300.0,
                     help="roundtrip above this is 'degraded' (default 300)")
     ap.add_argument("--wait", action="store_true",
                     help="re-probe every 90 s until healthy (recovery poll)")
+    ap.add_argument("--force", action="store_true",
+                    help="probe even while a live client holds the chip lock "
+                         "(concurrent-client wedge risk — see module doc)")
     args = ap.parse_args(argv)
 
     holder = lock_holder()
-    if holder is not None and holder != os.getpid():
-        print(f"chip lock held by live pid {holder} — probing anyway; "
-              "prefer waiting for the client to finish", file=sys.stderr)
+    if holder is not None and holder != os.getpid() and not args.force:
+        print(json.dumps({
+            "status": "refused", "chip_lock_holder": holder,
+            "error": "live client holds the chip lock; a concurrent probe "
+                     "risks wedging it (use --force to probe anyway)",
+        }), flush=True)
+        return 3
 
     while True:
-        out = run_probe(args.timeout_s, args.bulk_mb)
+        out = run_probe(args.timeout_s, args.bulk_mb,
+                        dispatch_timeout_s=args.dispatch_timeout_s)
         if holder is not None:
             out["chip_lock_holder"] = holder
         if out["status"] == "up":
@@ -145,6 +193,12 @@ def main(argv=None) -> int:
                              else "degraded")
         print(json.dumps(out), flush=True)
         if out["status"] == "healthy" or not args.wait:
+            break
+        if "probe_pid" in out:
+            # an abandoned in-flight probe means a live axon client exists;
+            # spawning more alongside it is the concurrent-client pattern
+            print("aborting --wait: a previous probe is still in flight",
+                  file=sys.stderr)
             break
         time.sleep(90)
     return {"healthy": 0, "degraded": 1}.get(out["status"], 2)

@@ -40,10 +40,53 @@ def test_probe_bulk_bandwidth(cpu_probe_env):
     assert out["bulk_mb_per_s"] > 0
 
 
-def test_probe_timeout_is_down():
+def test_probe_init_timeout_is_down_and_killed():
+    # no INIT_OK within the init deadline -> killed (safe: no fetches)
     out = diagnose.run_probe(timeout_s=0.05)
     assert out["status"] == "down"
-    assert "hung" in out["error"]
+    assert "init" in out["error"] and "killed" in out["error"]
+
+
+def test_probe_dispatch_hang_never_killed(cpu_probe_env, monkeypatch):
+    # init succeeds, then the dispatch phase stalls (test hook): the parent
+    # must report down WITHOUT killing the probe, and name its pid.
+    monkeypatch.setenv("HPCD_DIAG_TEST_DISPATCH_SLEEP", "20")
+    out = diagnose.run_probe(timeout_s=120.0, dispatch_timeout_s=0.5)
+    assert out["status"] == "down"
+    assert "LEFT RUNNING" in out["error"]
+    pid = out["probe_pid"]
+    # still alive after the verdict — run_probe did not kill it
+    os.kill(pid, 0)
+    # cleanup for the test only (a real axon probe must never be killed
+    # mid-dispatch; this one is a CPU sleeper)
+    os.kill(pid, 9)
+
+
+def test_wait_aborts_on_inflight_probe(monkeypatch, capsys):
+    # --wait must not stack new clients alongside an abandoned in-flight one
+    monkeypatch.setattr(
+        diagnose, "run_probe",
+        lambda t, b=0.0, dispatch_timeout_s=900.0: {
+            "status": "down", "probe_pid": 12345, "error": "LEFT RUNNING"})
+    monkeypatch.setattr(diagnose, "lock_holder", lambda *a: None)
+    monkeypatch.setattr(diagnose.time, "sleep", lambda s: None)
+    assert diagnose.main(["--wait"]) == 2
+    assert len([l for l in capsys.readouterr().out.splitlines() if l]) == 1
+
+
+def test_main_refuses_on_live_lock_holder(monkeypatch, capsys):
+    monkeypatch.setattr(diagnose, "lock_holder", lambda *a: 4242)
+    probed = []
+    monkeypatch.setattr(diagnose, "run_probe",
+                        lambda *a, **k: probed.append(1) or {"status": "up",
+                                                             "roundtrip_ms": 1.0})
+    assert diagnose.main([]) == 3
+    assert not probed
+    line = json.loads(capsys.readouterr().out.strip())
+    assert line["status"] == "refused" and line["chip_lock_holder"] == 4242
+    # --force probes anyway
+    assert diagnose.main(["--force"]) == 0
+    assert probed
 
 
 def test_lock_holder_live_stale_none(tmp_path):
@@ -62,7 +105,9 @@ def test_lock_holder_live_stale_none(tmp_path):
 def test_main_exit_codes(monkeypatch, capsys):
     calls = {"n": 0}
 
-    def fake_probe(timeout_s, bulk_mb=0.0):
+    monkeypatch.setattr(diagnose, "lock_holder", lambda *a: None)
+
+    def fake_probe(timeout_s, bulk_mb=0.0, **kw):
         calls["n"] += 1
         return {"status": "up", "roundtrip_ms": 29.0, "platform": "tpu",
                 "n_devices": 1, "init_s": 1.0}
@@ -74,22 +119,23 @@ def test_main_exit_codes(monkeypatch, capsys):
 
     monkeypatch.setattr(
         diagnose, "run_probe",
-        lambda t, bulk_mb=0.0: {"status": "up", "roundtrip_ms": 109000.0,
-                                "platform": "tpu", "n_devices": 1})
+        lambda t, bulk_mb=0.0, **kw: {"status": "up", "roundtrip_ms": 109000.0,
+                                      "platform": "tpu", "n_devices": 1})
     assert diagnose.main([]) == 1  # degraded
     assert json.loads(capsys.readouterr().out.strip())["status"] == "degraded"
 
     monkeypatch.setattr(
         diagnose, "run_probe",
-        lambda t, bulk_mb=0.0: {"status": "down", "error": "x"})
+        lambda t, bulk_mb=0.0, **kw: {"status": "down", "error": "x"})
     assert diagnose.main([]) == 2
 
 
 def test_main_wait_repolls_until_healthy(monkeypatch, capsys):
+    monkeypatch.setattr(diagnose, "lock_holder", lambda *a: None)
     seq = [{"status": "down", "error": "boom"},
            {"status": "up", "roundtrip_ms": 30.0}]
     monkeypatch.setattr(diagnose, "run_probe",
-                        lambda t, bulk_mb=0.0: seq.pop(0))
+                        lambda t, bulk_mb=0.0, **kw: seq.pop(0))
     monkeypatch.setattr(diagnose.time, "sleep", lambda s: None)
     assert diagnose.main(["--wait"]) == 0
     lines = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
