@@ -249,20 +249,20 @@ def run_bench(batch: int = 256, iters: int = 60, warmup: int = 5) -> dict:
     }
 
 
-def _wait_backend_healthy(max_wait_s: float) -> None:
+def _wait_backend_healthy(max_wait_s: float) -> bool:
     """Bounded wait for the axon backend to answer a trivial roundtrip.
 
     The remote backend can return UNAVAILABLE (or hang in init) for many
-    minutes after a client wedge — CLAUDE.md "CONCURRENT-CLIENT WEDGE".
-    Each probe is a short-lived subprocess so a hung backend init cannot
-    hang the bench process itself; killing an init-stuck probe is safe
-    (it holds no in-flight fetches). No-op on CPU backends. Progress goes
-    to stderr — stdout stays one JSON line.
+    minutes — or hours — after a client wedge (CLAUDE.md
+    "CONCURRENT-CLIENT WEDGE"). Each probe is a short-lived subprocess so
+    a hung backend init cannot hang the bench process itself; killing an
+    init-stuck probe is safe (it holds no in-flight fetches). No-op True
+    on CPU backends. Progress goes to stderr — stdout stays one JSON line.
     """
     from hyperpocket_tpu.utils.chip_lock import _platform_is_chip
 
     if not _platform_is_chip() or max_wait_s <= 0:
-        return
+        return True
     probe = (
         "import jax, numpy as np; "
         "np.asarray(jax.device_get(jax.jit(lambda a: a * 2 + 1)"
@@ -282,14 +282,11 @@ def _wait_backend_healthy(max_wait_s: float) -> None:
                 if attempt > 1:
                     print(f"bench: backend healthy after {attempt} probes",
                           file=sys.stderr, flush=True)
-                return
+                return True
         except subprocess.TimeoutExpired:
             pass
         if time.monotonic() >= deadline:
-            print("bench: backend probe never succeeded within "
-                  f"{max_wait_s:.0f}s; proceeding anyway",
-                  file=sys.stderr, flush=True)
-            return
+            return False
         print(f"bench: backend unhealthy (probe {attempt}); retrying",
               file=sys.stderr, flush=True)
         time.sleep(30)
@@ -301,6 +298,15 @@ if __name__ == "__main__":
     # Serialize against any live training/experiments client, then wait out
     # a recovering backend before spending the round-end bench attempt.
     with chip_lock():
-        _wait_backend_healthy(
-            float(os.environ.get("HPCD_BENCH_HEALTH_WAIT_S", "900")))
+        wait_s = float(os.environ.get("HPCD_BENCH_HEALTH_WAIT_S", "900"))
+        if not _wait_backend_healthy(wait_s):
+            # Fail fast with an explicit line: entering run_bench against a
+            # down backend would hang on the first dispatch with no bound.
+            print(json.dumps({
+                "metric": "clouds_per_sec", "value": 0, "unit": "clouds/s",
+                "vs_baseline": 0,
+                "error": f"TPU backend unreachable for {wait_s:.0f}s "
+                         "(init-probe never succeeded); bench not run",
+            }))
+            sys.exit(1)
         print(json.dumps(run_bench()))
