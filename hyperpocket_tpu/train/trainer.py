@@ -38,21 +38,10 @@ from hyperpocket_tpu.train.optim import make_lr_schedule, make_optimizer, set_le
 from hyperpocket_tpu.utils.logging_setup import logging_setup, seed_setup
 
 
-def make_train_step(model: FullModel, tx, loss_coef: float, prng_impl: str = "threefry2x32"):
-    """Returns jitted step(params, opt_state, existing, missing, gt, key, epoch).
+def _train_step_core(model: FullModel, tx, loss_coef: float, prng_impl: str):
+    """Unjitted optimizer-step math, shared by the per-step and scanned-epoch
+    entry points (identical trace → identical numerics in both loops)."""
 
-    ``key`` may be a PRNG key or a uint32 counter scalar — counters are
-    folded into a key *inside* the jit, so the host never runs an eager
-    ``random.split`` per step (slow over the device tunnel).
-
-    ``prng_impl`` (config ``training.prng_impl``) selects the generator the
-    counter is folded into: "threefry2x32" (default — bitwise-stable across
-    backends) or "rbg" (the TPU's hardware generator; the (B, N, 3) ball
-    sample per step is ~2.8x cheaper, draws remain deterministic per seed
-    but are impl-specific).
-    """
-
-    @partial(jax.jit, static_argnames=("num_points",), donate_argnums=(0, 1))
     def step(params, opt_state, existing, missing, gt, key, epoch, num_points,
              vae_eps=None, ball_points=None):
         if jnp.issubdtype(jnp.asarray(key).dtype, jnp.integer):
@@ -77,6 +66,74 @@ def make_train_step(model: FullModel, tx, loss_coef: float, prng_impl: str = "th
         return params, opt_state, loss, loss_r, loss_k, rec
 
     return step
+
+
+def make_train_step(model: FullModel, tx, loss_coef: float, prng_impl: str = "threefry2x32"):
+    """Returns jitted step(params, opt_state, existing, missing, gt, key, epoch).
+
+    ``key`` may be a PRNG key or a uint32 counter scalar — counters are
+    folded into a key *inside* the jit, so the host never runs an eager
+    ``random.split`` per step (slow over the device tunnel).
+
+    ``prng_impl`` (config ``training.prng_impl``) selects the generator the
+    counter is folded into: "threefry2x32" (default — bitwise-stable across
+    backends) or "rbg" (the TPU's hardware generator; the (B, N, 3) ball
+    sample per step is ~2.8x cheaper, draws remain deterministic per seed
+    but are impl-specific).
+    """
+    step = _train_step_core(model, tx, loss_coef, prng_impl)
+    return partial(jax.jit, static_argnames=("num_points",), donate_argnums=(0, 1))(step)
+
+
+def make_train_epoch_scan(model: FullModel, tx, loss_coef: float,
+                          prng_impl: str = "threefry2x32"):
+    """One dispatch per EPOCH: ``lax.scan`` of the train step over stacked
+    batches (config ``training.epoch_mode: "scan"``).
+
+    Why: the per-step loop pays a fixed dispatch round-trip (~29 ms over the
+    axon tunnel, CLAUDE.md) plus a small H2D upload per batch; at production
+    shapes a whole 23-step epoch *computes* in well under half a second, so
+    epoch wall-clock is latency-bound, not compute-bound. Scanning the same
+    donated step body over the epoch's stacked batches turns S dispatches +
+    S uploads into ONE dispatch + ONE bulk upload, and XLA compiles the body
+    once (no data-dependent Python control flow on the hot path).
+
+    Semantics: exactly ``make_train_step`` iterated with the same uint32 key
+    counters — the body is the SAME traced function
+    (tests/test_trainer_scan.py asserts trajectory equality). Returns
+    ``(params, opt_state, last_rec, losses)`` where ``losses`` is the
+    stacked (S, 3) per-step ``(loss_all, loss_r, loss_kld)`` rows and
+    ``last_rec`` is the final step's reconstruction (the step loop's sample
+    capture). Deterministic-injection hooks (``vae_eps``/``ball_points``)
+    remain a step-loop-only feature.
+    """
+    core = _train_step_core(model, tx, loss_coef, prng_impl)
+
+    @partial(jax.jit, static_argnames=("num_points",), donate_argnums=(0, 1))
+    def epoch_fn(params, opt_state, existing, missing, gt, keys, epoch, num_points):
+        # rec's shape/dtype (trace-time only; cost-free) to seed the carry;
+        # num_points must stay a static Python int, so bind it via partial
+        rec_sds = jax.eval_shape(
+            partial(core, num_points=num_points), params, opt_state, existing[0],
+            None if missing is None else missing[0], gt[0], keys[0], epoch,
+        )[5]
+        rec0 = jnp.zeros(rec_sds.shape, rec_sds.dtype)
+
+        def body(carry, xs):
+            p, s, _ = carry
+            if missing is None:
+                ex, g, k = xs
+                mi = None
+            else:
+                ex, mi, g, k = xs
+            p, s, loss, loss_r, loss_k, rec = core(p, s, ex, mi, g, k, epoch, num_points)
+            return (p, s, rec), jnp.stack([loss, loss_r, loss_k])
+
+        xs = (existing, gt, keys) if missing is None else (existing, missing, gt, keys)
+        (params, opt_state, rec), losses = jax.lax.scan(body, (params, opt_state, rec0), xs)
+        return params, opt_state, rec, losses
+
+    return epoch_fn
 
 
 def init_head_adam_state(params: dict, moment_dtype: str = "bfloat16") -> dict:
@@ -298,6 +355,19 @@ class Trainer:
         self.train_step = make_train_step(self.model, self.tx, self.loss_coef, prng_impl)
         self.val_step = make_val_step(self.model, self.loss_coef, prng_impl)
         self.uses_missing = self.model.mode != "hyper_rec"
+        # training.epoch_mode = "scan": one dispatch per epoch (lax.scan of
+        # the same step body over stacked batches) — the latency-bound-host
+        # optimization (see make_train_epoch_scan). "step" (default) keeps
+        # the per-batch dispatch loop, required for mesh sharding and the
+        # deterministic-injection hooks.
+        self.epoch_mode = str(tr.get("epoch_mode", "step"))
+        if self.epoch_mode not in ("step", "scan"):
+            raise ValueError(f"training.epoch_mode must be 'step' or 'scan', got {self.epoch_mode!r}")
+        self._epoch_scan_fn = (
+            make_train_epoch_scan(self.model, self.tx, self.loss_coef, prng_impl)
+            if self.epoch_mode == "scan"
+            else None
+        )
 
         self.train_losses: list[np.ndarray] = []
         self.val_losses: list[np.ndarray] = []
@@ -371,6 +441,12 @@ class Trainer:
     # ------------------------------------------------------------------
     def train_epoch(self, epoch: int) -> tuple[EpochStats, tuple]:
         self.opt_state = set_learning_rate(self.opt_state, self.lr_schedule(epoch))
+        if (
+            self._epoch_scan_fn is not None
+            and self.mesh is None
+            and self.injection_provider is None
+        ):
+            return self._train_epoch_scan(epoch)
         # Device-side loss accumulation: per-batch float() fetches would pay
         # a host round-trip each step (seconds under tunnel latency); instead
         # stack the scalars on device and fetch ONCE per epoch.
@@ -408,6 +484,64 @@ class Trainer:
             latest = (latest[0], latest[1], np.asarray(latest[2]))
         stats = EpochStats(*(sums / max(n_batches, 1)))
         return stats, latest
+
+    def _train_epoch_scan(self, epoch: int) -> tuple[EpochStats, tuple]:
+        """Scanned-epoch body: collect the epoch's batches host-side, stack
+        the uniform prefix into (S, B, ...) arrays and run ONE scanned
+        dispatch; any ragged tail batches (drop_last=False) fall through to
+        the per-step function with the same key counters, so the trajectory
+        is identical to the step loop in every case."""
+        ep = jnp.asarray(float(epoch))
+        batches, keys = [], []
+        for existing, missing, gt, _ in self.train_loader.epoch(epoch):
+            batches.append((existing, self._prep_missing(missing, existing.shape[0]), gt))
+            keys.append(self._next_key())
+        if not batches:
+            self.last_step_losses = np.zeros((0, 3))
+            return EpochStats(0.0, 0.0, 0.0), None
+
+        def shape_of(b):
+            ex, mi, g = b
+            return (ex.shape, None if mi is None else mi.shape, g.shape)
+
+        lead = shape_of(batches[0])
+        n_scan = 0
+        while n_scan < len(batches) and shape_of(batches[n_scan]) == lead:
+            n_scan += 1
+
+        use_missing = batches[0][1] is not None
+        num_points = int(batches[0][2].shape[1])
+        loss_rows = []
+        rec = None
+        if n_scan > 1:
+            ex_s = jnp.asarray(np.stack([b[0] for b in batches[:n_scan]]))
+            mi_s = (
+                jnp.asarray(np.stack([b[1] for b in batches[:n_scan]]))
+                if use_missing
+                else None
+            )
+            gt_s = jnp.asarray(np.stack([b[2] for b in batches[:n_scan]]))
+            k_s = jnp.asarray(np.asarray(keys[:n_scan], np.uint32))
+            self.params, self.opt_state, rec, losses = self._epoch_scan_fn(
+                self.params, self.opt_state, ex_s, mi_s, gt_s, k_s, ep,
+                num_points=num_points,
+            )
+            loss_rows.append(losses)
+            n_start = n_scan
+        else:
+            n_start = 0
+        for (existing, missing, gt), key in zip(batches[n_start:], keys[n_start:]):
+            self.params, self.opt_state, loss, loss_r, loss_k, rec = self.train_step(
+                self.params, self.opt_state, jnp.asarray(existing),
+                None if missing is None else jnp.asarray(missing),
+                jnp.asarray(gt), key, ep, num_points=int(gt.shape[1]),
+            )
+            loss_rows.append(jnp.stack([loss, loss_r, loss_k])[None])
+        # one device fetch per epoch, as in the step loop
+        self.last_step_losses = np.asarray(jnp.concatenate(loss_rows, axis=0))
+        sums = self.last_step_losses.sum(axis=0)
+        latest = (batches[-1][0], batches[-1][2], np.asarray(rec))
+        return EpochStats(*(sums / len(batches))), latest
 
     def val_epoch(self, epoch: int):
         """Per-category no-grad loss + one sample per category (epoch_loops.py:49-83)."""

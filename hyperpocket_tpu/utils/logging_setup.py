@@ -38,3 +38,10 @@ def logging_setup(log_dir: str) -> None:
     console.setLevel(logging.INFO)
     console.setFormatter(logging.Formatter("%(asctime)s: %(levelname)-8s %(message)s"))
     logging.getLogger("").addHandler(console)
+    # The DEBUG root level is for OUR loggers (reference core/setup.py:33-41
+    # writes a DEBUG log.txt); jax's internal debug stream (per-dispatch
+    # cache-key hashes — hundreds of lines per compile) would swamp the file
+    # and burn single-core host time on a 400-epoch run. Cap libraries at
+    # INFO; the app's hyperpocket_tpu.* loggers keep full DEBUG.
+    for noisy in ("jax", "orbax", "absl", "urllib3"):
+        logging.getLogger(noisy).setLevel(logging.INFO)

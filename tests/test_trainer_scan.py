@@ -1,0 +1,64 @@
+"""Scanned-epoch mode (training.epoch_mode = "scan"): one dispatch per epoch.
+
+Asserts the lax.scan epoch body reproduces the per-step loop's trajectory —
+same per-batch loss rows, same final params — including the ragged-tail
+path (drop_last=False), where the uniform prefix scans and the tail batch
+falls through to the per-step function with the same key counters.
+"""
+
+import numpy as np
+import pytest
+
+from tests.test_data import make_synthetic_shapenet
+from tests.test_train_integration import make_config
+
+
+def _run(config, epochs):
+    from hyperpocket_tpu.train.trainer import Trainer
+
+    trainer = Trainer(config, use_mesh=False)
+    rows = []
+    for ep in range(1, epochs + 1):
+        stats, latest = trainer.train_epoch(ep)
+        rows.append(np.asarray(trainer.last_step_losses))
+        assert latest is not None and latest[2].ndim == 3
+    return rows, trainer.params
+
+
+@pytest.mark.parametrize("drop_last", [True, False])
+def test_scan_matches_step_trajectory(tmp_path, drop_last):
+    root = tmp_path / "data"
+    make_synthetic_shapenet(root, n_models=7, n_gt=64, n_part=32)
+
+    def cfg(mode, tag):
+        c = make_config(root, tmp_path / f"res_{tag}", max_epoch=3, batch=2)
+        c["training"]["epoch_mode"] = mode
+        c["training"]["dataloader"]["train"]["drop_last"] = drop_last
+        return c
+
+    step_rows, step_params = _run(cfg("step", f"step{drop_last}"), epochs=3)
+    scan_rows, scan_params = _run(cfg("scan", f"scan{drop_last}"), epochs=3)
+
+    assert len(step_rows) == len(scan_rows)
+    for a, b in zip(step_rows, scan_rows):
+        assert a.shape == b.shape  # same number of batches, same 3 loss cols
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+    import jax
+
+    leaves_a = jax.tree_util.tree_leaves(step_params)
+    leaves_b = jax.tree_util.tree_leaves(scan_params)
+    assert len(leaves_a) == len(leaves_b)
+    for la, lb in zip(leaves_a, leaves_b):
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb), rtol=1e-5, atol=1e-6)
+
+
+def test_epoch_mode_validated(tmp_path):
+    root = tmp_path / "data"
+    make_synthetic_shapenet(root, n_models=4, n_gt=64, n_part=32)
+    c = make_config(root, tmp_path / "res", max_epoch=1, batch=2)
+    c["training"]["epoch_mode"] = "warp"
+    from hyperpocket_tpu.train.trainer import Trainer
+
+    with pytest.raises(ValueError, match="epoch_mode"):
+        Trainer(c, use_mesh=False)
