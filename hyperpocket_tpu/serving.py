@@ -18,6 +18,12 @@ CLI (restores a trained checkpoint the same way experiments mode does)::
     python -m hyperpocket_tpu.serving --config settings/config_3depn_chair.json \
         --out model.jaxexp --batch 64 [--epoch best_val] [--points 2048]
 
+Consumer CLI — PLY in, completion PLY out, no repo/checkpoint needed::
+
+    python -m hyperpocket_tpu.serving infer --artifact model.jaxexp \
+        --inputs scan1.ply scan2.ply --out-dir completions/ \
+        [--samples 4 --noise-std 0.13] [--no-normalize]
+
 Serving signature: ``f(existing (B, N, 3) f32, noise (B, Z) f32,
 seed uint32 scalar) -> (B, num_output_points, 3) f32``. The seed drives the
 target-network ball sampling; fixing it makes the completion deterministic.
@@ -115,7 +121,107 @@ def load_completion(data: bytes):
     return jax.export.deserialize(bytearray(data)).call
 
 
+def infer_main(argv=None) -> int:
+    """``python -m hyperpocket_tpu.serving infer``: PLY in -> completion PLY out.
+
+    The consumer half of the serving story: loads an exported artifact (no
+    model code, config or checkpoint tree needed), resamples each input
+    cloud to the artifact's ``n_existing``, batches jobs to its fixed batch
+    size (padding the tail), and writes one completion PLY per (input,
+    sample). By default inputs are normalized into the 0.9 box exactly like
+    the real-scan dataset (data/real_data.py::_get_scales — reference
+    datasets/real_data.py semantics) and completions are mapped back into
+    the input's coordinates by inverting that same affine transform (we
+    know it exactly, so no rescale-by-output-box estimate is needed).
+    """
+    ap = argparse.ArgumentParser(
+        prog="python -m hyperpocket_tpu.serving infer",
+        description="Complete partial point clouds from PLY files using an "
+                    "exported jax.export artifact")
+    ap.add_argument("--artifact", required=True,
+                    help="artifact path (its .json metadata sidecar must sit next to it)")
+    ap.add_argument("--inputs", nargs="+", required=True,
+                    help="partial-cloud .ply files")
+    ap.add_argument("--out-dir", required=True)
+    ap.add_argument("--seed", type=int, default=0,
+                    help="ball-sampling/noise seed (fixed seed + zero noise "
+                         "=> deterministic completions)")
+    ap.add_argument("--samples", type=int, default=1,
+                    help="completions per input (fresh latent noise each)")
+    ap.add_argument("--noise-std", type=float, default=0.0,
+                    help="latent noise std (the reference's fixed experiment "
+                         "uses 0.13; 0 = zero-noise completion)")
+    ap.add_argument("--no-normalize", action="store_true",
+                    help="inputs are already in the training distribution; "
+                         "skip 0.9-box normalization and output rescale")
+    args = ap.parse_args(argv)
+
+    import os
+
+    from hyperpocket_tpu.data.base import resample_pcd
+    from hyperpocket_tpu.data.plyio import load_ply, save_ply
+    from hyperpocket_tpu.data.real_data import RealDataNPYDataset
+
+    with open(args.artifact, "rb") as fh:
+        artifact = fh.read()
+    with open(args.artifact + ".json") as fh:
+        meta = json.load(fh)
+    if meta.get("data_parallel"):
+        raise SystemExit("infer drives single-host artifacts; re-export "
+                         "without --data-parallel for CLI serving")
+    batch, n_exist, zdim = meta["batch"], meta["n_existing"], meta["noise_size"]
+
+    rng = np.random.default_rng(args.seed)
+    clouds, transforms = [], []
+    for p in args.inputs:
+        pts = np.asarray(load_ply(p), np.float32)
+        if args.no_normalize:
+            center, scale = np.zeros(3, np.float32), 1.0
+        else:
+            center, scale = RealDataNPYDataset._get_scales(pts)
+            pts = (pts - center) / scale
+        transforms.append((center, scale))
+        clouds.append(resample_pcd(pts, n_exist, rng=rng).astype(np.float32))
+
+    from hyperpocket_tpu.utils.chip_lock import chip_lock
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    jobs = [(i, k) for i in range(len(clouds)) for k in range(args.samples)]
+    written = []
+    with chip_lock():
+        f = load_completion(artifact)
+        for start in range(0, len(jobs), batch):
+            chunk = jobs[start:start + batch]
+            ex = np.stack([clouds[i] for i, _ in chunk])
+            if len(chunk) < batch:  # pad the tail to the artifact's fixed batch
+                ex = np.concatenate([ex, np.repeat(ex[-1:], batch - len(chunk), 0)])
+            noise = (
+                rng.standard_normal((batch, zdim)).astype(np.float32) * args.noise_std
+                if args.noise_std > 0
+                else np.zeros((batch, zdim), np.float32)
+            )
+            comp = np.asarray(f(jnp.asarray(ex), jnp.asarray(noise),
+                                jnp.asarray(args.seed, jnp.uint32)))
+            for j, (i, k) in enumerate(chunk):
+                center, scale = transforms[i]
+                rec = comp[j] * scale + center
+                stem = os.path.splitext(os.path.basename(args.inputs[i]))[0]
+                name = (f"{stem}_completion.ply" if args.samples == 1
+                        else f"{stem}_completion{k}.ply")
+                path = os.path.join(args.out_dir, name)
+                save_ply(path, np.asarray(rec, np.float32))
+                written.append(path)
+    print(json.dumps({"artifact": args.artifact, "inputs": len(clouds),
+                      "samples": args.samples, "written": written}))
+    return 0
+
+
 def main(argv=None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if argv[:1] == ["infer"]:
+        return infer_main(argv[1:])
+    if argv[:1] == ["export"]:  # explicit subcommand; bare flags = export too
+        argv = argv[1:]
     ap = argparse.ArgumentParser(
         description="Export a trained completion model as a jax.export artifact")
     ap.add_argument("-c", "--config", required=True,
