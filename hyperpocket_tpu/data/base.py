@@ -62,9 +62,12 @@ def get_datasets(config: dict):
             split="train",
             classes=config.get("classes", []),
             num_samples=config.get("num_samples", 4),
+            cache=config.get("cache", False),
         )
         val = ShapeNet3DEPNDataset.get_validation_datasets(
-            config["path"], classes=config.get("classes", [])
+            config["path"], classes=config.get("classes", []),
+            num_samples=config.get("num_samples", 4),
+            cache=config.get("cache", False),
         )
         test = ShapeNet3DEPNDataset.get_test_datasets(
             config["path"], classes=config.get("classes", [])

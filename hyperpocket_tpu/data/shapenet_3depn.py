@@ -64,9 +64,15 @@ def _load_mesh_vertices(path: str) -> np.ndarray:
 
 
 class ShapeNet3DEPNDataset:
-    def __init__(self, root_dir: str, split: str = "train", classes=None, num_samples: int = 4):
+    def __init__(self, root_dir: str, split: str = "train", classes=None, num_samples: int = 4,
+                 cache: bool = False):
         self.root_dir = root_dir
         self.split = split
+        # optional in-RAM file cache (dataset.cache) — same semantics as the
+        # MissingShapeNet cache (shapenet.py): a 400-epoch run re-reads every
+        # slice file 400x otherwise. Cached arrays are never mutated in place
+        # downstream (the loader stacks copies).
+        self._cache: dict[str, np.ndarray] | None = {} if cache else None
         classes = list(classes or [])
         if split == "test":
             if not classes:
@@ -120,16 +126,25 @@ class ShapeNet3DEPNDataset:
             return raw, 0, real, self.shape_names[index]
         fname = self.shape_names[index // self.num_samples]
         scan = str(index % self.num_samples)
-        existing = load_ply(join(self.root_dir, "slices", "existing", self.cat, scan + "~" + fname))
-        missing = load_ply(join(self.root_dir, "slices", "missing", self.cat, scan + "~" + fname))
-        gt = load_ply(join(self.root_dir, "slices", "gt", self.cat, fname))
+        existing = self._load(join(self.root_dir, "slices", "existing", self.cat, scan + "~" + fname))
+        missing = self._load(join(self.root_dir, "slices", "missing", self.cat, scan + "~" + fname))
+        gt = self._load(join(self.root_dir, "slices", "gt", self.cat, fname))
         return existing, missing, gt, fname[:-4]
+
+    def _load(self, path: str) -> np.ndarray:
+        if self._cache is None:
+            return load_ply(path)
+        cloud = self._cache.get(path)
+        if cloud is None:
+            cloud = load_ply(path)
+            self._cache[path] = cloud
+        return cloud
 
     @classmethod
     def get_validation_datasets(cls, root_dir, classes=None, **kwargs):
         classes = list(classes or _DEFAULT_VAL_CLASSES)
         return {
-            synth_id_to_category[cat]: cls(root_dir=root_dir, split="val", classes=[cat])
+            synth_id_to_category[cat]: cls(root_dir=root_dir, split="val", classes=[cat], **kwargs)
             for cat in classes
         }
 
@@ -137,6 +152,6 @@ class ShapeNet3DEPNDataset:
     def get_test_datasets(cls, root_dir, classes=None, **kwargs):
         classes = list(classes or [])
         return {
-            synth_id_to_category[cat]: cls(root_dir=root_dir, split="test", classes=[cat])
+            synth_id_to_category[cat]: cls(root_dir=root_dir, split="test", classes=[cat], **kwargs)
             for cat in classes
         }

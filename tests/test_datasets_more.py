@@ -183,3 +183,22 @@ def test_real_data_missing_assets_raise(tmp_path):
         ds.get_scene(0)
     with pytest.raises(ValueError):
         ds.get_obj_box(0)
+
+
+def test_3depn_cache(tmp_path):
+    make_3depn_tree(tmp_path)
+    ds = ShapeNet3DEPNDataset(str(tmp_path), split="train", classes=[CAT],
+                              num_samples=2, cache=True)
+    a = ds[0]
+    assert len(ds._cache) == 3  # existing + missing + gt
+    b = ds[0]
+    for x, y in zip(a[:3], b[:3]):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    # cache kwarg reaches the validation datasets through the classmethod
+    vals = ShapeNet3DEPNDataset.get_validation_datasets(
+        str(tmp_path), classes=[CAT], cache=True)
+    (ds_val,) = vals.values()
+    assert ds_val._cache == {}
+    if len(ds_val):
+        ds_val[0]
+        assert len(ds_val._cache) == 3
