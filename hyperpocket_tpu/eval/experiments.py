@@ -16,6 +16,7 @@ submission zip), with forwards jitted and batched on the TPU:
 
 from __future__ import annotations
 
+import glob
 import json
 import logging
 import os
@@ -282,6 +283,15 @@ def compute_mmd_tmd_uhd(ctx: ExperimentContext, datasets_dict, results_dir: str,
 
     os.makedirs(join(results_dir, "compute_mmd_tmd_uhd"), exist_ok=True)
     shape_dir = join(results_dir, "fixed")
+    if not glob.glob(join(shape_dir, "*reconstruction.npy")):
+        # run_experiments executes in config-settings order (reference
+        # core/main.py:184); a config listing this experiment before "fixed"
+        # would otherwise die deep in np.stack with an opaque error
+        raise FileNotFoundError(
+            f"compute_mmd_tmd_uhd found no *reconstruction.npy under {shape_dir}; "
+            "the 'fixed' experiment must run first (list it before "
+            "compute_mmd_tmd_uhd in experiments.settings)"
+        )
     if isinstance(datasets_dict, dict):
         if len(datasets_dict) != 1:
             # fixed/ mixes categories into one directory while mmd_process

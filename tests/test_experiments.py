@@ -68,6 +68,16 @@ def test_experiments_mode_end_to_end(trained_setup, tmp_path):
     assert all(np.isfinite(v) for v in res.values())
 
 
+def test_mmd_without_fixed_raises_clearly(tmp_path):
+    """A config listing compute_mmd_tmd_uhd before fixed must fail with an
+    actionable message, not an opaque np.stack error (run_experiments runs
+    in config-settings order, reference core/main.py:184)."""
+    from hyperpocket_tpu.eval.experiments import compute_mmd_tmd_uhd
+
+    with pytest.raises(FileNotFoundError, match="'fixed' experiment must run first"):
+        compute_mmd_tmd_uhd(None, {"chair": []}, str(tmp_path), 1)
+
+
 def test_fixed_uses_gt_point_count(trained_setup):
     """fixed must emit 2048-pt clouds for real configs — here gt is 64 pts."""
     # covered by shape assert above; this guards the num_points plumbing
