@@ -68,14 +68,17 @@ def nn_distance_point_sharded(a: jax.Array, b: jax.Array, mesh, axis: str = DATA
         me = lax.axis_index(axis)
         n_local, m_local = al.shape[1], bl.shape[1]
         batch = al.shape[0]
-        # pvary: the carries become device-varying after the first ppermute,
-        # so the init values must carry the same varying-axis type
+        # the carries become device-varying after the first ppermute, so the
+        # init values must carry the same varying-axis type
+        def _vary(x):
+            return lax.pcast(x, axis, to="varying")
+
         init = (
             bl,
-            lax.pvary(jnp.full((batch, m_local), jnp.inf, al.dtype), (axis,)),  # travelling d2
-            lax.pvary(jnp.zeros((batch, m_local), jnp.int32), (axis,)),         # travelling idx2
-            lax.pvary(jnp.full((batch, n_local), jnp.inf, al.dtype), (axis,)),  # resident d1
-            lax.pvary(jnp.zeros((batch, n_local), jnp.int32), (axis,)),         # resident idx1
+            _vary(jnp.full((batch, m_local), jnp.inf, al.dtype)),  # travelling d2
+            _vary(jnp.zeros((batch, m_local), jnp.int32)),         # travelling idx2
+            _vary(jnp.full((batch, n_local), jnp.inf, al.dtype)),  # resident d1
+            _vary(jnp.zeros((batch, n_local), jnp.int32)),         # resident idx1
         )
 
         def hop(t, carry):
