@@ -71,7 +71,7 @@ def main():
     enable_compile_cache()
     config = json.load(open(CONFIG))
 
-    _, _, test_dict = get_datasets(
+    _, val_dict, test_dict = get_datasets(
         {**config["dataset"], "classes": ["03001627", "02691156"]}
     )
     sizes = {k: len(v) for k, v in test_dict.items()}
@@ -79,12 +79,32 @@ def main():
 
     chair_only = {"chair": test_dict["chair"]}
     all_concat = {"all": _ConcatDataset(test_dict.values())}
+    # 3D-EPN TEST items carry a scalar missing-part placeholder (the
+    # reference ships evaluate_generativity execute=false in its 3depn
+    # configs for exactly this reason); the VAL split has real missing
+    # halves, so generativity exercises trained weights there instead —
+    # subsampled to gen-test scale (the metric is O(n^2) completions and
+    # O(n^3) EMD pairs; the full 1596-item val split is not its shape)
+    class _Subset:
+        def __init__(self, ds, n):
+            self.ds, self.n = ds, min(n, len(ds))
+
+        def __len__(self):
+            return self.n
+
+        def __getitem__(self, i):
+            if i >= self.n:
+                raise IndexError(i)
+            return self.ds[i]
+
+    chair_val = {"chair": _Subset(val_dict["chair"], 50)}
 
     exp_dir = join(OUT, "experiments")
     os.makedirs(exp_dir, exist_ok=True)
     passes = [
-        (["fixed", "compute_mmd_tmd_uhd", "evaluate_generativity",
-          "same_model_different_slices"], chair_only),
+        (["fixed", "compute_mmd_tmd_uhd", "same_model_different_slices"],
+         chair_only),
+        (["evaluate_generativity"], chair_val),
         (["merge_different_categories"], test_dict),
         (["completion3d_submission"], all_concat),
     ]
