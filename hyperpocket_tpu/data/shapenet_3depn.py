@@ -110,6 +110,7 @@ class ShapeNet3DEPNDataset:
         return len(self.shape_names) * self.num_samples
 
     def __getitem__(self, index: int):
+        index = int(index)  # np.int64 indices break random.Random under numpy>=2
         if self.split == "test":
             raw_n = self._raw_choice[index]
             # per-index RNG for the resampling (the reference uses the global

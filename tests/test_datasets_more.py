@@ -69,6 +69,10 @@ def test_3depn_test_split_deterministic(tmp_path):
     assert name1 == name2 == "m00"
     np.testing.assert_array_equal(raw1, raw2)
     np.testing.assert_array_equal(real1, real2)
+    # numpy integer indices (np.random.choice output) must work: the
+    # per-index random.Random seed rejects np.int64 under numpy>=2
+    raw3, _, _, _ = ds1[np.int64(0)]
+    np.testing.assert_array_equal(raw1, raw3)
 
 
 def test_3depn_axis_swap_applied(tmp_path):
