@@ -134,9 +134,10 @@ def fixed(ctx: ExperimentContext, datasets_dict, results_dir: str, epoch, amount
     """Reference core/experiments.py:23-60. Artifacts are (3, N) npy files.
 
     ``num_points`` defaults to the reference's hardcoded 2048-point output
-    (experiments.py:42). ``triangulation_config`` is accepted-but-ignored,
-    as in the reference (experiments.py:25; utils/sphere_triangles.py is
-    dead code there).
+    (experiments.py:42). ``triangulation_config`` AND ``amount`` are
+    accepted-but-ignored, as in the reference (experiments.py:23-25 — its
+    loop covers the whole dataset regardless of ``amount``;
+    utils/sphere_triangles.py is dead code there).
     """
     out_dir = join(results_dir, "fixed")
     shutil.rmtree(out_dir, ignore_errors=True)
