@@ -35,8 +35,10 @@ from os.path import join
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-CONFIG = "results/dress_rehearsal_r4/config.json"
-OUT = "results/dress_rehearsal_r4"
+# R4_OUT lets the same driver serve later rehearsal variants (e.g. r4b on
+# the v2 structured corpus)
+OUT = os.environ.get("R4_OUT", "results/dress_rehearsal_r4")
+CONFIG = join(OUT, "config.json")
 
 
 class _ConcatDataset:

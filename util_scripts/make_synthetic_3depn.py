@@ -23,8 +23,14 @@ Two visually/parametrically distinct families so cross-category experiments
 * airplane (02691156): crossed ellipsoids (elongated fuselage + thin wide
   wing lobe).
 
+``style="v2"`` swaps in structured multi-part families (surface-sampled
+box assemblies): chairs with a seat, backrest and four thin legs; airplanes
+with a fuselage, main wing, tail fin and horizontal stabilizer. A z-half
+scan of a v2 chair routinely removes whole legs, so the completion task has
+real structure to recover.
+
 Usage:
-  python util_scripts/make_synthetic_3depn.py <out_dir> [n_chair] [n_airplane] [seed]
+  python util_scripts/make_synthetic_3depn.py <out_dir> [n_chair] [n_airplane] [seed] [v1|v2]
 """
 
 from __future__ import annotations
@@ -68,10 +74,95 @@ def _airplane(rng, n):
     return np.concatenate(parts).astype(np.float32)
 
 
+def _sample_box_surface(rng, n, half, center):
+    """n points uniform on the surface of an axis-aligned box (area-weighted
+    faces)."""
+    hx, hy, hz = half
+    areas = np.array([hy * hz, hy * hz, hx * hz, hx * hz, hx * hy, hx * hy])
+    face = rng.choice(6, n, p=areas / areas.sum())
+    u = rng.uniform(-1, 1, (n, 2))
+    pts = np.empty((n, 3))
+    for f in range(6):
+        m = face == f
+        axis, sign = f // 2, 1.0 if f % 2 == 0 else -1.0
+        others = [a for a in range(3) if a != axis]
+        pts[m, axis] = sign * half[axis]
+        pts[m, others[0]] = u[m, 0] * half[others[0]]
+        pts[m, others[1]] = u[m, 1] * half[others[1]]
+    return pts + center
+
+
+def _sample_parts(rng, n, parts):
+    """Distribute n points over (half, center) boxes by surface area."""
+    areas = np.array([8 * (h[0] * h[1] + h[1] * h[2] + h[0] * h[2])
+                      for h, _ in parts])
+    counts = rng.multinomial(n, areas / areas.sum())
+    out = [
+        _sample_box_surface(rng, c, np.asarray(h, float), np.asarray(ctr, float))
+        for c, (h, ctr) in zip(counts, parts) if c
+    ]
+    return np.concatenate(out).astype(np.float32)
+
+
+def _chair_parts(rng, n):
+    """Multi-part chair: seat + backrest + 4 thin legs (v2 family).
+
+    Thin legs and the seat/back right angle give the completion task real
+    structure to recover (a z-half scan routinely removes entire legs),
+    unlike the smooth single-surface superellipsoids of v1.
+    """
+    seat_w = rng.uniform(0.18, 0.28)          # x half-width
+    seat_d = rng.uniform(0.16, 0.26)          # y half-depth
+    seat_t = rng.uniform(0.015, 0.03)         # half-thickness
+    seat_h = rng.uniform(0.0, 0.08)           # seat center z
+    leg_len = rng.uniform(0.16, 0.26)
+    leg_r = rng.uniform(0.012, 0.025)
+    back_h = rng.uniform(0.18, 0.3)
+    back_t = rng.uniform(0.012, 0.025)
+    lean = rng.uniform(0.0, 0.06)             # backrest y offset at top
+    parts = [((seat_w, seat_d, seat_t), (0, 0, seat_h))]
+    for sx in (-1, 1):
+        for sy in (-1, 1):
+            parts.append((
+                (leg_r, leg_r, leg_len / 2),
+                (sx * (seat_w - leg_r * 2), sy * (seat_d - leg_r * 2),
+                 seat_h - seat_t - leg_len / 2),
+            ))
+    parts.append((
+        (seat_w * rng.uniform(0.85, 1.0), back_t, back_h / 2),
+        (0, -(seat_d - back_t) - lean, seat_h + seat_t + back_h / 2),
+    ))
+    return _sample_parts(rng, n, parts)
+
+
+def _airplane_parts(rng, n):
+    """Fuselage + main wing + tail fin + horizontal stabilizer (v2)."""
+    fus_l = rng.uniform(0.3, 0.42)
+    fus_r = rng.uniform(0.035, 0.06)
+    wing_span = rng.uniform(0.24, 0.38)
+    wing_chord = rng.uniform(0.05, 0.09)
+    wing_t = rng.uniform(0.008, 0.015)
+    wing_x = rng.uniform(-0.08, 0.06)
+    fin_h = rng.uniform(0.06, 0.11)
+    stab_span = rng.uniform(0.08, 0.14)
+    parts = [
+        ((fus_l, fus_r, fus_r), (0, 0, 0)),                       # fuselage
+        ((wing_chord, wing_span, wing_t), (wing_x, 0, 0)),        # main wing
+        ((wing_chord * 0.6, wing_t, fin_h / 2),
+         (-fus_l + wing_chord * 0.6, 0, fus_r + fin_h / 2)),      # tail fin
+        ((wing_chord * 0.55, stab_span, wing_t),
+         (-fus_l + wing_chord * 0.55, 0, 0)),                     # stabilizer
+    ]
+    return _sample_parts(rng, n, parts)
+
+
 FAMILIES = {CHAIR: _superellipsoid, AIRPLANE: _airplane}
+FAMILIES_V2 = {CHAIR: _chair_parts, AIRPLANE: _airplane_parts}
 
 
-def make_synthetic_3depn(root: str, n_models: dict[str, int], seed: int = 0) -> None:
+def make_synthetic_3depn(root: str, n_models: dict[str, int], seed: int = 0,
+                         style: str = "v1") -> None:
+    families = {"v1": FAMILIES, "v2": FAMILIES_V2}[style]
     rng = np.random.default_rng(seed)
     rows = []
     for cat, count in n_models.items():
@@ -79,7 +170,7 @@ def make_synthetic_3depn(root: str, n_models: dict[str, int], seed: int = 0) -> 
         raw_dir = join(root, "shapenet_dim32_sdf_pc", cat)
         os.makedirs(pc_dir, exist_ok=True)
         os.makedirs(raw_dir, exist_ok=True)
-        fam = FAMILIES[cat]
+        fam = families[cat]
         for i in range(count):
             name = f"syn{cat[-3:]}_{i:04d}"
             gt = fam(rng, int(rng.integers(2400, 3600)))
@@ -117,4 +208,5 @@ if __name__ == "__main__":
     n_chair = int(sys.argv[2]) if len(sys.argv) > 2 else 450
     n_air = int(sys.argv[3]) if len(sys.argv) > 3 else 150
     seed = int(sys.argv[4]) if len(sys.argv) > 4 else 0
-    make_synthetic_3depn(out, {CHAIR: n_chair, AIRPLANE: n_air}, seed)
+    style = sys.argv[5] if len(sys.argv) > 5 else "v1"
+    make_synthetic_3depn(out, {CHAIR: n_chair, AIRPLANE: n_air}, seed, style)

@@ -26,8 +26,9 @@
 
 set -u
 REPO=/root/repo
-OUT=$REPO/results/dress_rehearsal_r4
+OUT=${R4_OUT:-$REPO/results/dress_rehearsal_r4}
 CONFIG=$OUT/config.json
+export R4_OUT="$OUT"
 RLOG=$OUT/runner.log
 WEDGE_S=1500          # 25 min of log silence => wedged
 DEADLINE_S=$(( $(date +%s) + 9*3600 ))
@@ -39,13 +40,13 @@ mkdir -p "$OUT"
 note() { echo "$(date -u +%FT%TZ) $*" >> "$RLOG"; }
 
 epochs_done() {
-  PYTHONPATH=/root/repo JAX_PLATFORMS=cpu python - <<'EOF' 2>/dev/null
-import json, sys
+  R4_CONFIG="$CONFIG" PYTHONPATH=/root/repo JAX_PLATFORMS=cpu python - <<'EOF' 2>/dev/null
+import json, os, sys
 sys.path.insert(0, "/root/repo")
 from os.path import join
 from hyperpocket_tpu.train.config import get_results_dir_path
 from hyperpocket_tpu.train.checkpoint import find_latest_resumable_epoch
-cfg = json.load(open("/root/repo/results/dress_rehearsal_r4/config.json"))
+cfg = json.load(open(os.environ["R4_CONFIG"]))
 rd = get_results_dir_path(cfg, "training")
 print(find_latest_resumable_epoch(join(rd, "weights"), join(rd, "metrics")))
 EOF
