@@ -251,7 +251,12 @@ def evaluate_generativity(ctx: ExperimentContext, datasets_dict, results_dir: st
     os.makedirs(join(results_dir, "evaluate_generativity"), exist_ok=True)
     results: dict[str, dict] = {}
     for cat_name, ds in datasets_dict.items():
-        if len(ds) and np.ndim(ds[0][1]) != 2:
+        if len(ds) == 0:
+            raise ValueError(
+                f"evaluate_generativity got an empty dataset for category "
+                f"{cat_name!r} (split matched no on-disk models?)"
+            )
+        if np.ndim(ds[0][1]) != 2:
             # 3D-EPN/Completion3D TEST items carry a scalar missing-part
             # placeholder (reference datasets/shapenet_3depn.py:134); the
             # reference only ever enables this experiment on datasets whose
@@ -260,9 +265,10 @@ def evaluate_generativity(ctx: ExperimentContext, datasets_dict, results_dir: st
             raise ValueError(
                 f"evaluate_generativity needs items with a real missing-part "
                 f"cloud at index 1; category {cat_name!r} has a scalar "
-                "placeholder (3D-EPN/Completion3D test split). Run it on a "
-                "split with missing halves (e.g. val) or disable it, as the "
-                "reference 3depn configs do"
+                "placeholder. For 3D-EPN that is the test split (val has "
+                "real missing halves); Completion3D has the placeholder on "
+                "every split, so disable this experiment there, as the "
+                "reference configs do"
             )
         cat_gt = np.stack([np.asarray(ds[i][1], dtype=np.float32) for i in range(len(ds))])
         n_gen = len(cat_gt)

@@ -41,6 +41,21 @@ OUT = os.environ.get("R4_OUT", "results/dress_rehearsal_r4")
 CONFIG = join(OUT, "config.json")
 
 
+class _Subset:
+    """First-n view of a dataset (rejects negative/oob indices)."""
+
+    def __init__(self, ds, n):
+        self.ds, self.n = ds, min(n, len(ds))
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        if not 0 <= i < self.n:
+            raise IndexError(i)
+        return self.ds[i]
+
+
 class _ConcatDataset:
     def __init__(self, parts):
         self.parts = list(parts)
@@ -87,18 +102,6 @@ def main():
     # halves, so generativity exercises trained weights there instead —
     # subsampled to gen-test scale (the metric is O(n^2) completions and
     # O(n^3) EMD pairs; the full 1596-item val split is not its shape)
-    class _Subset:
-        def __init__(self, ds, n):
-            self.ds, self.n = ds, min(n, len(ds))
-
-        def __len__(self):
-            return self.n
-
-        def __getitem__(self, i):
-            if i >= self.n:
-                raise IndexError(i)
-            return self.ds[i]
-
     chair_val = {"chair": _Subset(val_dict["chair"], 50)}
 
     exp_dir = join(OUT, "experiments")

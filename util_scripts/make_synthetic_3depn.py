@@ -209,4 +209,6 @@ if __name__ == "__main__":
     n_air = int(sys.argv[3]) if len(sys.argv) > 3 else 150
     seed = int(sys.argv[4]) if len(sys.argv) > 4 else 0
     style = sys.argv[5] if len(sys.argv) > 5 else "v1"
+    if style not in ("v1", "v2"):
+        sys.exit(f"style must be v1 or v2, got {style!r}")
     make_synthetic_3depn(out, {CHAIR: n_chair, AIRPLANE: n_air}, seed, style)

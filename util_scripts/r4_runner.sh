@@ -93,14 +93,20 @@ run_stage() { # $1 = stage name, $2... = command
   return "$rc"
 }
 
-note "=== runner start (deadline $(date -u -d @$DEADLINE_S +%FT%TZ)) ==="
+if [ ! -f "$CONFIG" ]; then
+  note "FATAL: no config at $CONFIG — stage a config.json under R4_OUT first"
+  exit 1
+fi
+MAX_EPOCH=$(python -c "import json;print(json.load(open('$CONFIG'))['training']['max_epoch'])")
 
-# ---- stage 1: training to 400 epochs --------------------------------------
+note "=== runner start (deadline $(date -u -d @$DEADLINE_S +%FT%TZ), max_epoch $MAX_EPOCH) ==="
+
+# ---- stage 1: training to max_epoch ----------------------------------------
 while true; do
   [ -f "$OUT/STOP" ] && { note "STOP file: exiting"; exit 0; }
   ep=$(epochs_done); ep=${ep:-0}
-  note "resumable epochs: $ep / 400"
-  if [ "$ep" -ge 400 ]; then break; fi
+  note "resumable epochs: $ep / $MAX_EPOCH"
+  if [ "$ep" -ge "$MAX_EPOCH" ]; then break; fi
   if [ "$(date +%s)" -ge "$DEADLINE_S" ]; then
     note "deadline passed with training incomplete; exiting"
     exit 0
@@ -108,7 +114,7 @@ while true; do
   wait_healthy || { note "STOP during health wait"; exit 0; }
   run_stage training python -m hyperpocket_tpu.cli -c "$CONFIG"
 done
-note "training complete (400 epochs)"
+note "training complete ($MAX_EPOCH epochs)"
 
 # ---- stage 2: experiments ---------------------------------------------------
 while true; do
