@@ -47,6 +47,7 @@ class ExperimentContext:
     seed: int = 2020
 
     def __post_init__(self):
+        self.latent_prior = None  # set by fit_latent_prior (empirical draws)
         # host-side counter folded into keys inside jit: no eager RNG ops in
         # the per-object loops (slow over the device tunnel)
         self._counter = int(self.seed) * 1_000_003
@@ -77,6 +78,13 @@ class ExperimentContext:
                 jax.random.key(seed), (batch, self.model.get_noise_size())
             )
 
+        @partial(jax.jit, static_argnames=("batch",))
+        def _noise_prior(seed, prior_mean, prior_tril, batch):
+            eps = jax.random.normal(
+                jax.random.key(seed), (batch, self.model.get_noise_size())
+            )
+            return prior_mean + eps @ prior_tril.T
+
         @partial(jax.jit, static_argnames=("num_points", "block"))
         def _complete_blocks(params, existing, noise_seeds, ball_seeds, mean, std,
                              epoch, num_points, block):
@@ -97,10 +105,30 @@ class ExperimentContext:
 
             return jax.vmap(one)(existing, noise_seeds, ball_seeds)
 
+        @partial(jax.jit, static_argnames=("num_points", "block"))
+        def _complete_blocks_prior(params, existing, noise_seeds, ball_seeds,
+                                   prior_mean, prior_tril, epoch, num_points,
+                                   block):
+            # empirical-prior twin of _complete_blocks: same seed schedule,
+            # noise = mean + eps @ L^T instead of the isotropic draw
+            def one(ex, ns, bs):
+                eps = jax.random.normal(
+                    jax.random.key(ns), (block, self.model.get_noise_size())
+                )
+                noise = prior_mean + eps @ prior_tril.T
+                return self.model.apply(
+                    params, ex, None, jax.random.key(bs), epoch,
+                    num_output_points=num_points, training=False, noise=noise,
+                )
+
+            return jax.vmap(one)(existing, noise_seeds, ball_seeds)
+
         self._complete = _complete
         self._complete_from_missing = _complete_from_missing
         self._noise = _noise
+        self._noise_prior = _noise_prior
         self._complete_blocks = _complete_blocks
+        self._complete_blocks_prior = _complete_blocks_prior
 
     def next_key(self):
         self._counter += 1
@@ -121,8 +149,33 @@ class ExperimentContext:
         )
         return np.asarray(out)
 
-    def sample_noise(self, batch: int, mean: float, std: float) -> np.ndarray:
+    def sample_noise(self, batch: int, mean: float, std: float,
+                     source: str = "normal") -> np.ndarray:
+        """Missing-half code draw. ``source="normal"`` is the reference's
+        isotropic N(mean, std); ``"empirical"`` samples the fitted latent
+        Gaussian (requires ``fit_latent_prior`` — see eval/latent_stats.py
+        for why isotropic draws decode poorly on small corpora)."""
+        if source == "empirical":
+            if self.latent_prior is None:
+                raise ValueError(
+                    "noise_source='empirical' requires ctx.fit_latent_prior() "
+                    "(or experiments.latent_prior in the config) first"
+                )
+            return np.asarray(self._noise_prior(
+                self.next_key(), jnp.asarray(self.latent_prior.mean),
+                jnp.asarray(self.latent_prior.scale_tril), batch,
+            ))
+        if source != "normal":
+            raise ValueError(f"unknown noise source {source!r}")
         return np.asarray(self._noise(self.next_key(), float(mean), float(std), batch))
+
+    def fit_latent_prior(self, missing_clouds, batch_size: int = 64) -> None:
+        """Fit the empirical latent Gaussian over (N, M, 3) missing halves."""
+        from hyperpocket_tpu.eval.latent_stats import fit_latent_gaussian
+
+        self.latent_prior = fit_latent_gaussian(
+            self.model, self.params, missing_clouds, batch_size
+        )
 
 
 # ---------------------------------------------------------------------------
@@ -130,7 +183,7 @@ class ExperimentContext:
 
 def fixed(ctx: ExperimentContext, datasets_dict, results_dir: str, epoch, amount=30,
           mean=0.0, std=0.015, noises_per_item=10, batch_size=8, save_plots=False,
-          triangulation_config=None, num_points=2048):
+          triangulation_config=None, num_points=2048, noise_source="normal"):
     """Reference core/experiments.py:23-60. Artifacts are (3, N) npy files.
 
     ``num_points`` defaults to the reference's hardcoded 2048-point output
@@ -147,7 +200,8 @@ def fixed(ctx: ExperimentContext, datasets_dict, results_dir: str, epoch, amount
         loader = BatchLoader(ds, batch_size, shuffle=False, num_workers=4)
         for i, (existing, _, _, _) in enumerate(loader.epoch(0)):
             for j in range(noises_per_item):
-                noise = ctx.sample_noise(existing.shape[0], mean, std)
+                noise = ctx.sample_noise(existing.shape[0], mean, std,
+                                         source=noise_source)
                 rec = ctx.complete(existing, noise, num_points=num_points)  # (B, P, 3)
                 for k in range(rec.shape[0]):
                     np.save(join(out_dir, f"{cat_name}_{i * batch_size + k}_{j}_reconstruction"),
@@ -177,7 +231,8 @@ def fixed(ctx: ExperimentContext, datasets_dict, results_dir: str, epoch, amount
 def _generate_completion_sets(ctx: ExperimentContext, existing_objs, n_gen: int,
                               batch_size: int, mean: float, std: float,
                               dispatch_clouds: int = 512,
-                              num_points: int = 2048) -> np.ndarray:
+                              num_points: int = 2048,
+                              noise_source: str = "normal") -> np.ndarray:
     """n_gen completions per object -> (n_obj, n_gen, num_points, 3).
 
     Dispatch-batched but VALUE-identical to the per-object loop form the
@@ -209,13 +264,25 @@ def _generate_completion_sets(ctx: ExperimentContext, existing_objs, n_gen: int,
                 np.broadcast_to(existing_objs[o], (block,) + existing_objs[o].shape)
                 for o, *_ in chunk
             ])
-            rec = np.asarray(ctx._complete_blocks(
-                ctx.params, jnp.asarray(ex),
-                np.asarray([e[3] for e in chunk], np.uint32),
-                np.asarray([e[4] for e in chunk], np.uint32),
-                float(mean), float(std), jnp.asarray(float(ctx.epoch)),
-                num_points, block,
-            ))
+            noise_seeds = np.asarray([e[3] for e in chunk], np.uint32)
+            ball_seeds = np.asarray([e[4] for e in chunk], np.uint32)
+            if noise_source == "empirical":
+                if ctx.latent_prior is None:
+                    raise ValueError(
+                        "noise_source='empirical' requires ctx.fit_latent_prior()"
+                    )
+                rec = np.asarray(ctx._complete_blocks_prior(
+                    ctx.params, jnp.asarray(ex), noise_seeds, ball_seeds,
+                    jnp.asarray(ctx.latent_prior.mean),
+                    jnp.asarray(ctx.latent_prior.scale_tril),
+                    jnp.asarray(float(ctx.epoch)), num_points, block,
+                ))
+            else:
+                rec = np.asarray(ctx._complete_blocks(
+                    ctx.params, jnp.asarray(ex), noise_seeds, ball_seeds,
+                    float(mean), float(std), jnp.asarray(float(ctx.epoch)),
+                    num_points, block,
+                ))
             for (o, start, b, _, _), r in zip(chunk[:n_real], rec[:n_real]):
                 out[o, start : start + b] = r
     return out
@@ -229,7 +296,8 @@ def _lowest_y_1024(recs: np.ndarray) -> np.ndarray:
 
 def evaluate_generativity(ctx: ExperimentContext, datasets_dict, results_dir: str, epoch,
                           batch_size=25, num_workers=8, mean=0.0, std=0.005,
-                          dispatch_clouds=512, object_group_clouds=8192):
+                          dispatch_clouds=512, object_group_clouds=8192,
+                          noise_source="normal"):
     """Reference core/experiments.py:63-104: per-object MMD/COV + JSD vs the
     category's missing-part population (per-object metric SUMS — the
     reference's quirk, preserved).
@@ -279,7 +347,8 @@ def evaluate_generativity(ctx: ExperimentContext, datasets_dict, results_dir: st
         for o0 in range(0, len(ds), group):
             objs = existing_objs[o0 : o0 + group]
             recs = _generate_completion_sets(
-                ctx, objs, n_gen, batch_size, mean, std, dispatch_clouds
+                ctx, objs, n_gen, batch_size, mean, std, dispatch_clouds,
+                noise_source=noise_source,
             )
             recs = _lowest_y_1024(recs)
             for obj_recs in recs:
@@ -523,6 +592,27 @@ def run_experiments(config: dict, result_dir: str, datasets=None) -> None:
         test_dataset_dict = datasets
 
     ctx = ExperimentContext(model, params, epoch, seed=config["setup"]["seed"])
+
+    prior_cfg = config["experiments"].get("latent_prior")
+    if prior_cfg:
+        # framework extension (documented in eval/latent_stats.py): fit the
+        # empirical latent Gaussian on VAL missing halves so experiments may
+        # request noise_source="empirical"
+        _, val_dict, _ = get_datasets(config["dataset"])
+        max_items = int(prior_cfg.get("max_items", 1024))
+        halves = []
+        for ds in val_dict.values():
+            take = min(len(ds), max(1, max_items // max(len(val_dict), 1)))
+            halves.extend(np.asarray(ds[i][1], dtype=np.float32) for i in range(take))
+        halves = [h for h in halves if h.ndim == 2]
+        if not halves:
+            raise ValueError(
+                "experiments.latent_prior: no val items with real missing "
+                "halves to fit on (Completion3D has placeholders everywhere)"
+            )
+        ctx.fit_latent_prior(np.stack(halves), int(prior_cfg.get("batch_size", 64)))
+        log.info("fitted empirical latent prior on %d missing halves", len(halves))
+
     for name, ex_cfg in config["experiments"]["settings"].items():
         ex_cfg = dict(ex_cfg)
         if ex_cfg.pop("execute", False):

@@ -68,6 +68,62 @@ def test_experiments_mode_end_to_end(trained_setup, tmp_path):
     assert all(np.isfinite(v) for v in res.values())
 
 
+def test_empirical_latent_prior(trained_setup, tmp_path):
+    """fit_latent_prior + noise_source='empirical': the fitted Gaussian's
+    samples must reproduce its mean/covariance, and the experiments must run
+    end-to-end with the empirical draw."""
+    import jax
+
+    from hyperpocket_tpu.eval.experiments import (
+        ExperimentContext,
+        evaluate_generativity,
+        fixed,
+    )
+    from hyperpocket_tpu.eval.latent_stats import fit_latent_gaussian
+
+    config, trainer = trained_setup
+    rng = np.random.default_rng(11)
+    # items shaped like real corpora: 1024-pt missing halves (EMD pairs them
+    # with the 1024 lowest-y points of each 2048-pt completion)
+    ds = [
+        (
+            (rng.standard_normal((32, 3)) * 0.3).astype(np.float32),
+            (rng.standard_normal((1024, 3)) * 0.3).astype(np.float32),
+            (rng.standard_normal((64, 3)) * 0.3).astype(np.float32),
+            "airplane",
+        )
+        for _ in range(4)
+    ]
+    halves = np.stack([d[1] for d in ds])
+
+    ctx = ExperimentContext(trainer.model, trainer.params, epoch=1, seed=5)
+    with pytest.raises(ValueError, match="fit_latent_prior"):
+        ctx.sample_noise(2, 0.0, 0.1, source="empirical")
+    ctx.fit_latent_prior(halves, batch_size=4)
+
+    prior = ctx.latent_prior
+    draws = np.asarray(prior.sample(jax.random.key(0), 8192))
+    cov = prior.scale_tril @ prior.scale_tril.T
+    np.testing.assert_allclose(draws.mean(0), prior.mean, atol=0.05)
+    got_cov = np.cov(draws.T)
+    np.testing.assert_allclose(got_cov, cov, atol=0.08)
+
+    # the fit itself: mean must equal the encoded-mu mean
+    lg = fit_latent_gaussian(trainer.model, trainer.params, halves, batch_size=4)
+    np.testing.assert_allclose(lg.mean, prior.mean, rtol=1e-5)
+
+    fixed(ctx, {"airplane": ds}, str(tmp_path), 1, noises_per_item=2,
+          batch_size=2, num_points=64, noise_source="empirical")
+    recs = glob.glob(join(tmp_path, "fixed", "*reconstruction.npy"))
+    assert len(recs) == 2 * len(ds)
+
+    res = evaluate_generativity(
+        ctx, {"airplane": ds}, str(tmp_path), 1, batch_size=2, std=0.05,
+        dispatch_clouds=4, noise_source="empirical",
+    )["airplane"]
+    assert all(np.isfinite(v) for v in res.values())
+
+
 def test_mmd_without_fixed_raises_clearly(tmp_path):
     """A config listing compute_mmd_tmd_uhd before fixed must fail with an
     actionable message, not an opaque np.stack error (run_experiments runs
