@@ -120,6 +120,19 @@ def main():
         run_experiments(_scoped_config(config, names), exp_dir, datasets=datasets)
         wall["+".join(names)] = round(time.monotonic() - t1, 1)
         print(f"pass {names}: {wall['+'.join(names)]}s", flush=True)
+    # A/B: rerun fixed -> mmd with the empirical latent prior (framework
+    # extension, eval/latent_stats.py) into its own directory so the two
+    # fixed/ trees never collide — same weights, only the noise draw differs
+    exp_dir_emp = join(OUT, "experiments_empirical")
+    os.makedirs(exp_dir_emp, exist_ok=True)
+    cfg_emp = _scoped_config(config, ["fixed", "compute_mmd_tmd_uhd"])
+    cfg_emp["experiments"]["latent_prior"] = {"max_items": 512}
+    cfg_emp["experiments"]["settings"]["fixed"]["noise_source"] = "empirical"
+    t1 = time.monotonic()
+    run_experiments(cfg_emp, exp_dir_emp, datasets=chair_only)
+    wall["empirical fixed+mmd"] = round(time.monotonic() - t1, 1)
+    print(f"pass empirical fixed+mmd: {wall['empirical fixed+mmd']}s", flush=True)
+
     total_wall = time.monotonic() - t0
     print(f"all experiments: {total_wall:.1f}s", flush=True)
 
@@ -137,11 +150,12 @@ def main():
         "pass_wall_s": wall,
         "artifact_counts": artifacts,
     }
-    for sub, fname, key in [
-        ("compute_mmd_tmd_uhd", "res.json", "mmd_tmd_uhd"),
-        ("evaluate_generativity", "eval_gen_by_cat.json", "eval_gen_by_cat"),
+    for base, sub, fname, key in [
+        (exp_dir, "compute_mmd_tmd_uhd", "res.json", "mmd_tmd_uhd"),
+        (exp_dir, "evaluate_generativity", "eval_gen_by_cat.json", "eval_gen_by_cat"),
+        (exp_dir_emp, "compute_mmd_tmd_uhd", "res.json", "mmd_tmd_uhd_empirical"),
     ]:
-        d = join(exp_dir, sub)
+        d = join(base, sub)
         for f in os.listdir(d) if os.path.isdir(d) else []:
             if f.endswith(fname):
                 summary[key] = json.load(open(join(d, f)))
