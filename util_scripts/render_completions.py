@@ -65,6 +65,14 @@ def main() -> None:
         gt = np.stack([np.asarray(ds[i][2], dtype=np.float32) for i in range(n)])
         noise = ctx.sample_noise(n, 0.0, 0.13)  # the reference fixed's draw
         rec_prior = np.asarray(ctx.complete(existing, noise, num_points=gt.shape[1]))
+        # empirical latent prior (framework extension, eval/latent_stats.py)
+        fit_n = min(len(ds), 256)
+        fit_halves = np.stack(
+            [np.asarray(ds[i][1], dtype=np.float32) for i in range(fit_n)]
+        )
+        ctx.fit_latent_prior(fit_halves)
+        noise_emp = ctx.sample_noise(n, 0.0, 0.0, source="empirical")
+        rec_emp = np.asarray(ctx.complete(existing, noise_emp, num_points=gt.shape[1]))
         # encoder path: both halves through the encoders, as the val CD does
         rec_enc = np.asarray(
             model.apply(
@@ -75,14 +83,15 @@ def main() -> None:
         )
         for i in range(n):
             fig, axes = plt.subplots(
-                1, 4, figsize=(16, 4), subplot_kw={"projection": "3d"}
+                1, 5, figsize=(20, 4), subplot_kw={"projection": "3d"}
             )
             for ax, cloud, title in zip(
                 axes,
-                (existing[i], rec_enc[i], rec_prior[i], gt[i]),
+                (existing[i], rec_enc[i], rec_prior[i], rec_emp[i], gt[i]),
                 ("existing (input)",
                  f"encoder reconstruction (epoch {epoch})",
-                 "prior-sample completion (std 0.13)",
+                 "isotropic completion (std 0.13)",
+                 "empirical-prior completion",
                  "ground truth"),
             ):
                 ax.scatter(cloud[:, 0], cloud[:, 2], cloud[:, 1], s=2)
