@@ -39,9 +39,13 @@ def test_experiments_mode_end_to_end(trained_setup, tmp_path):
     config["mode"] = "experiments"
     config["experiments"] = {
         "epoch": "best_val",
+        # exercises run_experiments' config-driven prior fitting (fits on
+        # val missing halves via get_datasets)
+        "latent_prior": {"max_items": 8, "batch_size": 4},
         "settings": {
             "fixed": {"execute": True, "mean": 0.0, "std": 0.05, "amount": 4,
-                      "noises_per_item": 10, "batch_size": 2, "num_points": 64},
+                      "noises_per_item": 10, "batch_size": 2, "num_points": 64,
+                      "noise_source": "empirical"},
             "compute_mmd_tmd_uhd": {"execute": True, "batch_size": 4},
             "same_model_different_slices": {"execute": False},
             "evaluate_generativity": {"execute": False},
