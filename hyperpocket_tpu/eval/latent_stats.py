@@ -23,7 +23,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["LatentGaussian", "encode_missing_mus", "fit_latent_gaussian"]
+__all__ = [
+    "LatentGaussian",
+    "encode_missing_mus",
+    "fit_latent_gaussian",
+    "load_latent_gaussian",
+    "save_latent_gaussian",
+]
 
 
 @dataclass(frozen=True)
@@ -41,6 +47,17 @@ class LatentGaussian:
         """(n, Z) draws: mean + eps @ scale_tril.T (jit-friendly)."""
         eps = jax.random.normal(key, (n, self.dim), jnp.float32)
         return jnp.asarray(self.mean) + eps @ jnp.asarray(self.scale_tril).T
+
+
+def save_latent_gaussian(lg: LatentGaussian, path: str) -> None:
+    """npz sidecar for serving (mean + covariance Cholesky)."""
+    np.savez(path, mean=lg.mean, scale_tril=lg.scale_tril)
+
+
+def load_latent_gaussian(path: str) -> LatentGaussian:
+    with np.load(path) as z:
+        return LatentGaussian(mean=np.asarray(z["mean"], np.float32),
+                              scale_tril=np.asarray(z["scale_tril"], np.float32))
 
 
 def encode_missing_mus(model, params, clouds: np.ndarray,

@@ -151,6 +151,11 @@ def infer_main(argv=None) -> int:
     ap.add_argument("--noise-std", type=float, default=0.0,
                     help="latent noise std (the reference's fixed experiment "
                          "uses 0.13; 0 = zero-noise completion)")
+    ap.add_argument("--latent-prior", default=None,
+                    help="npz from `fit-prior` (mean + covariance Cholesky): "
+                         "draw latent noise from the fitted code Gaussian "
+                         "instead of the isotropic --noise-std draw (samples "
+                         "the learned manifold; see eval/latent_stats.py)")
     ap.add_argument("--no-normalize", action="store_true",
                     help="inputs are already in the training distribution; "
                          "skip 0.9-box normalization and output rescale")
@@ -195,11 +200,20 @@ def infer_main(argv=None) -> int:
             ex = np.stack([clouds[i] for i, _ in chunk])
             if len(chunk) < batch:  # pad the tail to the artifact's fixed batch
                 ex = np.concatenate([ex, np.repeat(ex[-1:], batch - len(chunk), 0)])
-            noise = (
-                rng.standard_normal((batch, zdim)).astype(np.float32) * args.noise_std
-                if args.noise_std > 0
-                else np.zeros((batch, zdim), np.float32)
-            )
+            if args.latent_prior:
+                from hyperpocket_tpu.eval.latent_stats import load_latent_gaussian
+
+                lg = load_latent_gaussian(args.latent_prior)
+                if lg.dim != zdim:
+                    raise SystemExit(
+                        f"latent prior dim {lg.dim} != artifact noise_size {zdim}"
+                    )
+                eps = rng.standard_normal((batch, zdim)).astype(np.float32)
+                noise = lg.mean + eps @ lg.scale_tril.T
+            elif args.noise_std > 0:
+                noise = rng.standard_normal((batch, zdim)).astype(np.float32) * args.noise_std
+            else:
+                noise = np.zeros((batch, zdim), np.float32)
             comp = np.asarray(f(jnp.asarray(ex), jnp.asarray(noise),
                                 jnp.asarray(args.seed, jnp.uint32)))
             for j, (i, k) in enumerate(chunk):
@@ -216,10 +230,51 @@ def infer_main(argv=None) -> int:
     return 0
 
 
+def fit_prior_main(argv=None) -> int:
+    """``python -m hyperpocket_tpu.serving fit-prior``: fit the empirical
+    latent Gaussian on the val split's missing halves and save it as the
+    npz that ``infer --latent-prior`` consumes."""
+    ap = argparse.ArgumentParser(
+        prog="python -m hyperpocket_tpu.serving fit-prior",
+        description="Fit the empirical latent prior of a trained model")
+    ap.add_argument("-c", "--config", required=True,
+                    help="training config json (reference schema)")
+    ap.add_argument("--out", required=True, help="output .npz path")
+    ap.add_argument("--max-items", type=int, default=1024)
+    ap.add_argument("--batch-size", type=int, default=64)
+    args = ap.parse_args(argv)
+
+    import numpy as np
+
+    from hyperpocket_tpu.data import get_datasets
+    from hyperpocket_tpu.eval.latent_stats import fit_latent_gaussian, save_latent_gaussian
+    from hyperpocket_tpu.train.checkpoint import restore_trained_model
+    from hyperpocket_tpu.utils.chip_lock import chip_lock
+
+    config = json.load(open(args.config))
+    with chip_lock():
+        model, params, epoch = restore_trained_model(config)
+        _, val_dict, _ = get_datasets(config["dataset"])
+        halves = []
+        for ds in val_dict.values():
+            take = min(len(ds), max(1, args.max_items // max(len(val_dict), 1)))
+            halves.extend(np.asarray(ds[i][1], dtype=np.float32) for i in range(take))
+        halves = [h for h in halves if h.ndim == 2]
+        if not halves:
+            raise SystemExit("no val items with real missing halves to fit on")
+        lg = fit_latent_gaussian(model, params, np.stack(halves), args.batch_size)
+    save_latent_gaussian(lg, args.out)
+    print(json.dumps({"out": args.out, "epoch": epoch, "fitted_on": len(halves),
+                      "dim": lg.dim}))
+    return 0
+
+
 def main(argv=None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     if argv[:1] == ["infer"]:
         return infer_main(argv[1:])
+    if argv[:1] == ["fit-prior"]:
+        return fit_prior_main(argv[1:])
     if argv[:1] == ["export"]:  # explicit subcommand; bare flags = export too
         argv = argv[1:]
     ap = argparse.ArgumentParser(

@@ -134,6 +134,36 @@ def test_cli_exports_from_checkpoint(tmp_path, capsys):
     assert out.shape == (B, N_OUT, 3) and np.all(np.isfinite(out))
 
 
+def test_fit_prior_cli(tmp_path, capsys):
+    """fit-prior subcommand: config -> fitted latent Gaussian npz."""
+    from test_data import make_synthetic_shapenet
+
+    from hyperpocket_tpu.eval.latent_stats import load_latent_gaussian
+
+    make_synthetic_shapenet(tmp_path / "data", n_models=6, n_gt=64, n_part=32)
+    config = make_config(tmp_path / "data", tmp_path / "results")
+    model = FullModel.from_config(config["full_model"])
+    params = model.init(jax.random.key(config["setup"]["seed"]))
+    training_dir = get_results_dir_path(config, "training")
+    ckpt.save_checkpoint(join(training_dir, "weights"), join(training_dir, "metrics"),
+                         2, params, {"dummy": jnp.zeros((1,))}, {"lr": 1e-3},
+                         [[1.0, 1.0, 0.0]], [[2.0]])
+    cfg_path = str(tmp_path / "cfg.json")
+    with open(cfg_path, "w") as fh:
+        json.dump(config, fh)
+    out = str(tmp_path / "prior.npz")
+    rc = serving.main(["fit-prior", "-c", cfg_path, "--out", out,
+                       "--max-items", "6", "--batch-size", "2"])
+    assert rc == 0
+    meta = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert meta["fitted_on"] > 0
+    lg = load_latent_gaussian(out)
+    assert lg.dim == model.get_noise_size()
+    # covariance Cholesky must be usable (finite, lower-triangular)
+    assert np.all(np.isfinite(lg.scale_tril))
+    assert np.allclose(lg.scale_tril, np.tril(lg.scale_tril))
+
+
 def test_infer_cli_ply_roundtrip(tmp_path, capsys):
     """infer subcommand: PLY in -> batched artifact calls -> rescaled PLY out."""
     from hyperpocket_tpu.data.plyio import load_ply, save_ply
@@ -182,6 +212,33 @@ def test_infer_cli_ply_roundtrip(tmp_path, capsys):
     a, b = (load_ply(p) for p in res["written"][:2])
     if model.get_noise_size() > 0:
         assert np.abs(a - b).max() > 0
+
+    # --latent-prior: draws ride the fitted Gaussian npz instead of isotropic
+    from hyperpocket_tpu.eval.latent_stats import LatentGaussian, save_latent_gaussian
+
+    z = model.get_noise_size()
+    prior_path = str(tmp_path / "prior.npz")
+    save_latent_gaussian(
+        LatentGaussian(mean=np.full((z,), 0.5, np.float32),
+                       scale_tril=0.01 * np.eye(z, dtype=np.float32)),
+        prior_path,
+    )
+    rc = serving.infer_main(["--artifact", out_path, "--inputs", inputs[0],
+                             "--out-dir", str(tmp_path / "emp"), "--samples", "2",
+                             "--latent-prior", prior_path])
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(res["written"]) == 2
+    # dim mismatch fails loudly
+    save_latent_gaussian(
+        LatentGaussian(mean=np.zeros((z + 1,), np.float32),
+                       scale_tril=np.eye(z + 1, dtype=np.float32)),
+        prior_path,
+    )
+    with pytest.raises(SystemExit, match="noise_size"):
+        serving.infer_main(["--artifact", out_path, "--inputs", inputs[0],
+                            "--out-dir", str(tmp_path / "emp"),
+                            "--latent-prior", prior_path])
 
     # the explicit "export" subcommand spelling resolves to the exporter
     with pytest.raises(SystemExit):
