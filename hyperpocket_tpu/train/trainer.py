@@ -215,6 +215,50 @@ def make_fused_train_step(model: FullModel, tx, loss_coef: float,
     return step
 
 
+def make_val_epoch_scan(model: FullModel, loss_coef: float,
+                        prng_impl: str = "threefry2x32"):
+    """One dispatch per VAL epoch (config ``training.epoch_mode: "scan"``).
+
+    Same rationale as ``make_train_epoch_scan``: a val epoch at production
+    shapes is dispatch-latency-bound over the tunnel (~29 ms per batch), so
+    ``lax.scan`` of the no-grad val body over stacked batches turns S
+    dispatches into one. Values are identical to the per-batch loop (same
+    traced body, same uint32 key schedule); the last batch's reconstruction
+    rides the carry for the sample capture.
+    """
+
+    @partial(jax.jit, static_argnames=("num_points",))
+    def epoch_fn(params, existing, missing, gt, keys, epoch, num_points):
+        def val_body(ex, mi, g, k):
+            key = jax.random.key(k, impl=prng_impl)
+            rec = model.apply(
+                params, ex, mi, key, epoch, num_output_points=num_points,
+                training=False,
+            )
+            return reconstruction_loss(g, rec, loss_coef), rec
+
+        rec_sds = jax.eval_shape(
+            partial(val_body, existing[0],
+                    None if missing is None else missing[0], gt[0], keys[0])
+        )[1]
+        rec0 = jnp.zeros(rec_sds.shape, rec_sds.dtype)
+
+        def body(rec_prev, xs):
+            if missing is None:
+                ex, g, k = xs
+                mi = None
+            else:
+                ex, mi, g, k = xs
+            loss, rec = val_body(ex, mi, g, k)
+            return rec, loss
+
+        xs = (existing, gt, keys) if missing is None else (existing, missing, gt, keys)
+        rec, losses = jax.lax.scan(body, rec0, xs)
+        return losses, rec
+
+    return epoch_fn
+
+
 def make_val_step(model: FullModel, loss_coef: float, prng_impl: str = "threefry2x32"):
     @partial(jax.jit, static_argnames=("num_points",))
     def step(params, existing, missing, gt, key, epoch, num_points):
@@ -365,6 +409,11 @@ class Trainer:
             raise ValueError(f"training.epoch_mode must be 'step' or 'scan', got {self.epoch_mode!r}")
         self._epoch_scan_fn = (
             make_train_epoch_scan(self.model, self.tx, self.loss_coef, prng_impl)
+            if self.epoch_mode == "scan"
+            else None
+        )
+        self._val_epoch_scan_fn = (
+            make_val_epoch_scan(self.model, self.loss_coef, prng_impl)
             if self.epoch_mode == "scan"
             else None
         )
@@ -545,6 +594,8 @@ class Trainer:
 
     def val_epoch(self, epoch: int):
         """Per-category no-grad loss + one sample per category (epoch_loops.py:49-83)."""
+        if self._val_epoch_scan_fn is not None and self.mesh is None:
+            return self._val_epoch_scan(epoch)
         val_losses: dict[str, np.ndarray] = {}
         val_samples: dict[str, tuple] = {}
         ep = jnp.asarray(float(epoch))
@@ -575,6 +626,65 @@ class Trainer:
                 last = (last[0], last[1], np.asarray(last[2])[0])
             val_losses[cat] = np.array([total / max(n, 1)])
             val_samples[cat] = last
+        total = sum(v for v in val_losses.values())
+        val_losses["total"] = total / max(len(val_losses), 1)
+        return val_losses, val_samples
+
+    def _val_epoch_scan(self, epoch: int):
+        """Scanned-val body: stack each category's uniform batch prefix into
+        one ``lax.scan`` dispatch; ragged tails fall through to the per-batch
+        val step with the same key counters (values identical to the loop)."""
+        val_losses: dict[str, np.ndarray] = {}
+        val_samples: dict[str, tuple] = {}
+        ep = jnp.asarray(float(epoch))
+        for cat, loader in self.val_loaders.items():
+            batches, keys = [], []
+            for existing, missing, gt, _ in loader.epoch(epoch):
+                batches.append((existing, self._prep_missing(missing, existing.shape[0]), gt))
+                keys.append(self._next_key())
+            if not batches:
+                val_losses[cat] = np.array([0.0])
+                val_samples[cat] = None
+                continue
+
+            def shape_of(b):
+                ex, mi, g = b
+                return (ex.shape, None if mi is None else mi.shape, g.shape)
+
+            lead = shape_of(batches[0])
+            n_scan = 0
+            while n_scan < len(batches) and shape_of(batches[n_scan]) == lead:
+                n_scan += 1
+            use_missing = batches[0][1] is not None
+            num_points = int(batches[0][2].shape[1])
+            device_losses = []
+            rec = None
+            if n_scan > 1:
+                ex_s = jnp.asarray(np.stack([b[0] for b in batches[:n_scan]]))
+                mi_s = (
+                    jnp.asarray(np.stack([b[1] for b in batches[:n_scan]]))
+                    if use_missing
+                    else None
+                )
+                gt_s = jnp.asarray(np.stack([b[2] for b in batches[:n_scan]]))
+                k_s = jnp.asarray(np.asarray(keys[:n_scan], np.uint32))
+                losses, rec = self._val_epoch_scan_fn(
+                    self.params, ex_s, mi_s, gt_s, k_s, ep, num_points=num_points,
+                )
+                device_losses.append(losses)
+                n_start = n_scan
+            else:
+                n_start = 0
+            for (existing, missing, gt), key in zip(batches[n_start:], keys[n_start:]):
+                loss, rec = self.val_step(
+                    self.params, jnp.asarray(existing),
+                    None if missing is None else jnp.asarray(missing),
+                    jnp.asarray(gt), key, ep, num_points=int(gt.shape[1]),
+                )
+                device_losses.append(loss[None])
+            all_losses = np.asarray(jnp.concatenate(device_losses))
+            val_losses[cat] = np.array([float(all_losses.sum()) / len(batches)])
+            val_samples[cat] = (batches[-1][0][0], batches[-1][2][0], np.asarray(rec)[0])
         total = sum(v for v in val_losses.values())
         val_losses["total"] = total / max(len(val_losses), 1)
         return val_losses, val_samples

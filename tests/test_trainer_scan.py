@@ -53,6 +53,44 @@ def test_scan_matches_step_trajectory(tmp_path, drop_last):
         np.testing.assert_allclose(np.asarray(la), np.asarray(lb), rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.parametrize("drop_last", [True, False])
+def test_val_scan_matches_step(tmp_path, drop_last):
+    """The scanned val epoch must reproduce the per-batch loop's losses and
+    sample capture exactly (same key counters, incl. the ragged tail)."""
+    from hyperpocket_tpu.train.trainer import Trainer
+
+    root = tmp_path / "data"
+    # enough models/samples that the 5% val walk yields several batches (the
+    # scanned prefix needs >=2 equal-shaped batches to exercise the scan)
+    make_synthetic_shapenet(root, n_models=40, num_samples=5, n_gt=64, n_part=32)
+
+    def run(mode):
+        c = make_config(root, tmp_path / f"res_v{mode}{drop_last}", max_epoch=1,
+                        batch=2)
+        c["training"]["epoch_mode"] = mode
+        c["training"]["dataloader"]["val"]["drop_last"] = drop_last
+        c["training"]["dataloader"]["val"]["batch_size"] = 2
+        c["dataset"]["num_samples"] = 5  # 5 val items -> 2 full batches + tail
+        trainer = Trainer(c, use_mesh=False)
+        losses, samples = trainer.val_epoch(1)
+        return losses, samples
+
+    step_losses, step_samples = run("step")
+    scan_losses, scan_samples = run("scan")
+    assert set(step_losses) == set(scan_losses)
+    for k in step_losses:
+        np.testing.assert_allclose(scan_losses[k], step_losses[k],
+                                   rtol=1e-5, atol=1e-6)
+    assert any(v is not None for v in step_samples.values())
+    for cat in step_samples:
+        if step_samples[cat] is None:  # category smaller than a full batch
+            assert scan_samples[cat] is None
+            continue
+        for a, b in zip(step_samples[cat], scan_samples[cat]):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=1e-5, atol=1e-6)
+
+
 def test_epoch_mode_validated(tmp_path):
     root = tmp_path / "data"
     make_synthetic_shapenet(root, n_models=4, n_gt=64, n_part=32)
