@@ -36,6 +36,19 @@ PCN_DEFAULT_CLASSES = (
 )
 
 
+def _normalize_classes(classes: list[str]) -> list[str]:
+    """Map category names ('airplane') to synset ids ('02691156').
+
+    Strict superset of the reference: its PCN-list branch silently filters to
+    an empty dataset on names (shapenet.py:33-34) and its per-class factory
+    KeyErrors on them (shapenet.py:104), while its directory-walk branch maps
+    them (shapenet.py:39-41). Accepting both everywhere keeps synset-id
+    configs bit-identical and makes name configs work instead of crash.
+    Unknown entries raise KeyError, as the reference's mapping branch does.
+    """
+    return [c if c in synth_id_to_category else category_to_synth_id[c] for c in classes]
+
+
 def _rotation_z(degrees: float) -> np.ndarray:
     rad = math.radians(degrees)
     c, s = math.cos(rad), math.sin(rad)
@@ -63,7 +76,7 @@ class MissingShapeNetDataset:
         # optional in-RAM file cache: at 0.7 ms/step the disk is the
         # bottleneck, and the full 2048-pt MSN corpus is only ~700 MB
         self._cache: dict[str, np.ndarray] | None = {} if cache else None
-        classes = list(classes or [])
+        classes = _normalize_classes(list(classes or []))
 
         if use_pcn_model_list:
             with open(join(root_dir, split + ".list")) as fh:
@@ -72,8 +85,6 @@ class MissingShapeNetDataset:
                 lines = [ln for ln in lines if ln.split("/")[0] in classes]
             self.names = lines
         else:
-            if classes and classes[0] not in synth_id_to_category:
-                classes = [category_to_synth_id[c] for c in classes]
             if not classes:
                 classes = [c for c in synth_id_to_category if os.path.isdir(join(root_dir, c))]
             names: list[str] = []
@@ -123,7 +134,7 @@ class MissingShapeNetDataset:
     # ------------------------------------------------------------------
     @classmethod
     def _per_class(cls, root_dir, split, classes=None, **kwargs):
-        classes = list(classes or [])
+        classes = _normalize_classes(list(classes or []))
         if not classes:
             classes = list(PCN_DEFAULT_CLASSES) if kwargs.get("use_pcn_model_list", True) else list(synth_id_to_category)
         return {

@@ -135,6 +135,25 @@ def test_get_datasets_factory(tmp_path):
         get_datasets({"name": "nope", "path": "/x"})
 
 
+def test_classes_accept_category_names(tmp_path):
+    """Names ('airplane') select the same data as synset ids ('02691156').
+
+    Strict superset of the reference: its PCN-list branch silently matches
+    nothing on names (shapenet.py:33-34) and its per-class factory KeyErrors
+    (shapenet.py:104); id configs stay bit-identical."""
+    make_synthetic_shapenet(tmp_path)
+    by_id = MissingShapeNetDataset(str(tmp_path), split="train", num_samples=1, classes=[CAT])
+    by_name = MissingShapeNetDataset(str(tmp_path), split="train", num_samples=1, classes=["airplane"])
+    assert by_name.names == by_id.names and len(by_name) == 4
+    cfg = {"name": "shapenet", "path": str(tmp_path), "classes": ["airplane"],
+           "is_rotated": False, "num_samples": 1, "gen_test_set": False}
+    train, val, test = get_datasets(cfg)
+    assert len(train) == 4
+    assert list(val.keys()) == ["airplane"] and list(test.keys()) == ["airplane"]
+    with pytest.raises(KeyError):
+        MissingShapeNetDataset(str(tmp_path), split="train", classes=["not_a_category"])
+
+
 def test_batch_loader_determinism_and_drop_last(tmp_path):
     make_synthetic_shapenet(tmp_path, n_models=10)
     ds = MissingShapeNetDataset(str(tmp_path), split="train", num_samples=1)  # len 4... need more
