@@ -146,6 +146,14 @@ def test_completion3d_val_by_category(tmp_path):
                                                       classes=["02691156", "03001627"])
     assert set(val) == {"airplane", "chair"}
     assert len(val["airplane"]) == 2
+    # names map to synset ids everywhere (PARITY.md)
+    by_name = Completion3DDataset.get_validation_datasets(str(tmp_path),
+                                                          classes=["airplane", "chair"])
+    assert {c: ds.model_list for c, ds in by_name.items()} == {
+        c: ds.model_list for c, ds in val.items()}
+    train_id = Completion3DDataset(str(tmp_path), split="train", classes=["02691156"])
+    train_name = Completion3DDataset(str(tmp_path), split="train", classes=["airplane"])
+    assert train_name.model_list == train_id.model_list and len(train_id) == 2
 
 
 def test_completion3d_class_filter(tmp_path):
