@@ -29,3 +29,29 @@ synth_id_to_category = {
 
 category_to_synth_id = {v: k for k, v in synth_id_to_category.items()}
 synth_id_to_number = {k: i for i, k in enumerate(synth_id_to_category)}
+
+
+def normalize_classes(classes: list[str]) -> list[str]:
+    """Map category names ('airplane') to synset ids ('02691156').
+
+    Strict superset of the reference: its PCN-list branch silently filters to
+    an empty dataset on names (datasets/shapenet.py:33-34) and its per-class
+    factory KeyErrors on them (datasets/shapenet.py:104), while its
+    directory-walk branch maps them (datasets/shapenet.py:39-41). Accepting
+    both everywhere keeps synset-id configs bit-identical and makes name
+    configs work instead of crash. Unknown entries raise ValueError (the
+    reference's mapping branch raised a bare KeyError).
+    """
+    out = []
+    for c in classes:
+        if c in synth_id_to_category:
+            out.append(c)
+        elif c in category_to_synth_id:
+            out.append(category_to_synth_id[c])
+        else:
+            raise ValueError(
+                f"unknown dataset class {c!r}: entries of dataset.classes must "
+                f"be ShapeNet synset ids (e.g. '02691156') or category names "
+                f"(e.g. 'airplane'); see data/category_mapping.py for the list"
+            )
+    return out

@@ -13,7 +13,7 @@ import os
 import numpy as np
 
 from hyperpocket_tpu.data.category_mapping import synth_id_to_category
-from hyperpocket_tpu.data.shapenet import _normalize_classes
+from hyperpocket_tpu.data.category_mapping import normalize_classes
 
 _DEFAULT_VAL_CLASSES = (
     "02691156", "02933112", "02958343", "03001627",
@@ -38,7 +38,7 @@ class Completion3DDataset:
             if classes:
                 # names accepted alongside synset ids (PARITY.md; the
                 # reference silently empty-filters on names, completion3d:24-25)
-                classes = _normalize_classes(list(classes))
+                classes = normalize_classes(list(classes))
                 lines = [ln for ln in lines if ln.split("/")[0] in classes]
             self.model_list = lines
         else:
@@ -58,7 +58,7 @@ class Completion3DDataset:
 
     @classmethod
     def get_validation_datasets(cls, root_dir, classes=None, **kwargs):
-        classes = _normalize_classes(list(classes or _DEFAULT_VAL_CLASSES))
+        classes = normalize_classes(list(classes or _DEFAULT_VAL_CLASSES))
         lists: dict[str, list[str]] = {c: [] for c in classes}
         with open(os.path.join(root_dir, "val.list")) as fh:
             for line in fh:

@@ -24,7 +24,7 @@ import numpy as np
 
 from hyperpocket_tpu.data.base import resample_pcd
 from hyperpocket_tpu.data.category_mapping import (
-    category_to_synth_id,
+    normalize_classes,
     synth_id_to_category,
     synth_id_to_number,
 )
@@ -34,19 +34,6 @@ PCN_DEFAULT_CLASSES = (
     "02691156", "02933112", "02958343", "03001627",
     "03636649", "04256520", "04379243", "04530566",
 )
-
-
-def _normalize_classes(classes: list[str]) -> list[str]:
-    """Map category names ('airplane') to synset ids ('02691156').
-
-    Strict superset of the reference: its PCN-list branch silently filters to
-    an empty dataset on names (shapenet.py:33-34) and its per-class factory
-    KeyErrors on them (shapenet.py:104), while its directory-walk branch maps
-    them (shapenet.py:39-41). Accepting both everywhere keeps synset-id
-    configs bit-identical and makes name configs work instead of crash.
-    Unknown entries raise KeyError, as the reference's mapping branch does.
-    """
-    return [c if c in synth_id_to_category else category_to_synth_id[c] for c in classes]
 
 
 def _rotation_z(degrees: float) -> np.ndarray:
@@ -76,7 +63,7 @@ class MissingShapeNetDataset:
         # optional in-RAM file cache: at 0.7 ms/step the disk is the
         # bottleneck, and the full 2048-pt MSN corpus is only ~700 MB
         self._cache: dict[str, np.ndarray] | None = {} if cache else None
-        classes = _normalize_classes(list(classes or []))
+        classes = normalize_classes(list(classes or []))
 
         if use_pcn_model_list:
             with open(join(root_dir, split + ".list")) as fh:
@@ -134,7 +121,7 @@ class MissingShapeNetDataset:
     # ------------------------------------------------------------------
     @classmethod
     def _per_class(cls, root_dir, split, classes=None, **kwargs):
-        classes = _normalize_classes(list(classes or []))
+        classes = normalize_classes(list(classes or []))
         if not classes:
             classes = list(PCN_DEFAULT_CLASSES) if kwargs.get("use_pcn_model_list", True) else list(synth_id_to_category)
         return {

@@ -22,7 +22,7 @@ import numpy as np
 
 from hyperpocket_tpu.data.category_mapping import synth_id_to_category
 from hyperpocket_tpu.data.plyio import load_ply
-from hyperpocket_tpu.data.shapenet import _normalize_classes
+from hyperpocket_tpu.data.category_mapping import normalize_classes
 
 _DEFAULT_VAL_CLASSES = ("02691156", "03001627", "04379243")
 
@@ -75,10 +75,10 @@ class ShapeNet3DEPNDataset:
         # downstream (the loader stacks copies).
         self._cache: dict[str, np.ndarray] | None = {} if cache else None
         # names ('chair') accepted alongside synset ids — see
-        # shapenet._normalize_classes (superset of the reference, which
+        # category_mapping.normalize_classes (superset of the reference, which
         # requires ids here: shapenet_3depn.py:77-78 uses classes[0] as a
         # directory name directly)
-        classes = _normalize_classes(list(classes or []))
+        classes = normalize_classes(list(classes or []))
         if split == "test":
             if not classes:
                 raise ValueError("3depn test split requires an explicit class")
@@ -148,7 +148,7 @@ class ShapeNet3DEPNDataset:
 
     @classmethod
     def get_validation_datasets(cls, root_dir, classes=None, **kwargs):
-        classes = _normalize_classes(list(classes or _DEFAULT_VAL_CLASSES))
+        classes = normalize_classes(list(classes or _DEFAULT_VAL_CLASSES))
         return {
             synth_id_to_category[cat]: cls(root_dir=root_dir, split="val", classes=[cat], **kwargs)
             for cat in classes
@@ -156,7 +156,7 @@ class ShapeNet3DEPNDataset:
 
     @classmethod
     def get_test_datasets(cls, root_dir, classes=None, **kwargs):
-        classes = _normalize_classes(list(classes or []))
+        classes = normalize_classes(list(classes or []))
         return {
             synth_id_to_category[cat]: cls(root_dir=root_dir, split="test", classes=[cat], **kwargs)
             for cat in classes

@@ -30,7 +30,13 @@ import numpy as np
 from hyperpocket_tpu.data import get_datasets
 from hyperpocket_tpu.data.loader import BatchLoader
 from hyperpocket_tpu.models import FullModel
-from hyperpocket_tpu.parallel.mesh import DATA_AXIS, make_mesh, param_shardings, shard_batch
+from hyperpocket_tpu.parallel.mesh import (
+    DATA_AXIS,
+    make_mesh,
+    param_shardings,
+    shard_batch,
+    shard_scan_batch,
+)
 from hyperpocket_tpu.train import checkpoint as ckpt
 from hyperpocket_tpu.train.config import get_results_dir_path
 from hyperpocket_tpu.train.losses import kld_loss, reconstruction_loss
@@ -401,9 +407,11 @@ class Trainer:
         self.uses_missing = self.model.mode != "hyper_rec"
         # training.epoch_mode = "scan": one dispatch per epoch (lax.scan of
         # the same step body over stacked batches) — the latency-bound-host
-        # optimization (see make_train_epoch_scan). "step" (default) keeps
-        # the per-batch dispatch loop, required for mesh sharding and the
-        # deterministic-injection hooks.
+        # optimization (see make_train_epoch_scan). Composes with the DP/TP
+        # mesh: stacked (S, B, ...) epochs shard the batch dim over the data
+        # axis (shard_scan_batch) and the scanned body carries the sharded
+        # params/opt-state. "step" (default) keeps the per-batch dispatch
+        # loop, required for the deterministic-injection hooks.
         self.epoch_mode = str(tr.get("epoch_mode", "step"))
         if self.epoch_mode not in ("step", "scan"):
             raise ValueError(f"training.epoch_mode must be 'step' or 'scan', got {self.epoch_mode!r}")
@@ -481,6 +489,16 @@ class Trainer:
             return shard_batch(self.mesh, *arrays)
         return arrays if len(arrays) > 1 else arrays[0]
 
+    def _device_scan_batch(self, *arrays):
+        """Stacked (S, B, ...) scan inputs: batch dim (axis 1) over the data
+        axis when a mesh is active (scan-under-mesh; see shard_scan_batch)."""
+        arrays = tuple(jnp.asarray(a) for a in arrays)
+        if self.mesh is not None and all(
+            a.shape[1] % self.mesh.shape[DATA_AXIS] == 0 for a in arrays
+        ):
+            return shard_scan_batch(self.mesh, *arrays)
+        return arrays
+
     def _prep_missing(self, missing, batch):
         """HyperRec ignores missing; Completion3D yields scalar placeholders."""
         if not self.uses_missing or not isinstance(missing, np.ndarray) or missing.ndim != 3:
@@ -490,11 +508,7 @@ class Trainer:
     # ------------------------------------------------------------------
     def train_epoch(self, epoch: int) -> tuple[EpochStats, tuple]:
         self.opt_state = set_learning_rate(self.opt_state, self.lr_schedule(epoch))
-        if (
-            self._epoch_scan_fn is not None
-            and self.mesh is None
-            and self.injection_provider is None
-        ):
+        if self._epoch_scan_fn is not None and self.injection_provider is None:
             return self._train_epoch_scan(epoch)
         # Device-side loss accumulation: per-batch float() fetches would pay
         # a host round-trip each step (seconds under tunnel latency); instead
@@ -563,13 +577,13 @@ class Trainer:
         loss_rows = []
         rec = None
         if n_scan > 1:
-            ex_s = jnp.asarray(np.stack([b[0] for b in batches[:n_scan]]))
-            mi_s = (
-                jnp.asarray(np.stack([b[1] for b in batches[:n_scan]]))
-                if use_missing
-                else None
-            )
-            gt_s = jnp.asarray(np.stack([b[2] for b in batches[:n_scan]]))
+            stacked = [np.stack([b[0] for b in batches[:n_scan]]),
+                       np.stack([b[2] for b in batches[:n_scan]])]
+            if use_missing:
+                stacked.insert(1, np.stack([b[1] for b in batches[:n_scan]]))
+            dev = self._device_scan_batch(*stacked)
+            ex_s, gt_s = (dev[0], dev[1]) if not use_missing else (dev[0], dev[2])
+            mi_s = dev[1] if use_missing else None
             k_s = jnp.asarray(np.asarray(keys[:n_scan], np.uint32))
             self.params, self.opt_state, rec, losses = self._epoch_scan_fn(
                 self.params, self.opt_state, ex_s, mi_s, gt_s, k_s, ep,
@@ -580,10 +594,16 @@ class Trainer:
         else:
             n_start = 0
         for (existing, missing, gt), key in zip(batches[n_start:], keys[n_start:]):
+            arrays = (existing, gt) if missing is None else (existing, missing, gt)
+            dev = self._device_batch(*arrays)
+            if missing is None:
+                d_existing, d_gt = dev
+                d_missing = None
+            else:
+                d_existing, d_missing, d_gt = dev
             self.params, self.opt_state, loss, loss_r, loss_k, rec = self.train_step(
-                self.params, self.opt_state, jnp.asarray(existing),
-                None if missing is None else jnp.asarray(missing),
-                jnp.asarray(gt), key, ep, num_points=int(gt.shape[1]),
+                self.params, self.opt_state, d_existing, d_missing, d_gt,
+                key, ep, num_points=int(gt.shape[1]),
             )
             loss_rows.append(jnp.stack([loss, loss_r, loss_k])[None])
         # one device fetch per epoch, as in the step loop
@@ -594,7 +614,7 @@ class Trainer:
 
     def val_epoch(self, epoch: int):
         """Per-category no-grad loss + one sample per category (epoch_loops.py:49-83)."""
-        if self._val_epoch_scan_fn is not None and self.mesh is None:
+        if self._val_epoch_scan_fn is not None:
             return self._val_epoch_scan(epoch)
         val_losses: dict[str, np.ndarray] = {}
         val_samples: dict[str, tuple] = {}
@@ -660,13 +680,13 @@ class Trainer:
             device_losses = []
             rec = None
             if n_scan > 1:
-                ex_s = jnp.asarray(np.stack([b[0] for b in batches[:n_scan]]))
-                mi_s = (
-                    jnp.asarray(np.stack([b[1] for b in batches[:n_scan]]))
-                    if use_missing
-                    else None
-                )
-                gt_s = jnp.asarray(np.stack([b[2] for b in batches[:n_scan]]))
+                stacked = [np.stack([b[0] for b in batches[:n_scan]]),
+                           np.stack([b[2] for b in batches[:n_scan]])]
+                if use_missing:
+                    stacked.insert(1, np.stack([b[1] for b in batches[:n_scan]]))
+                dev = self._device_scan_batch(*stacked)
+                ex_s, gt_s = (dev[0], dev[1]) if not use_missing else (dev[0], dev[2])
+                mi_s = dev[1] if use_missing else None
                 k_s = jnp.asarray(np.asarray(keys[:n_scan], np.uint32))
                 losses, rec = self._val_epoch_scan_fn(
                     self.params, ex_s, mi_s, gt_s, k_s, ep, num_points=num_points,
@@ -676,10 +696,16 @@ class Trainer:
             else:
                 n_start = 0
             for (existing, missing, gt), key in zip(batches[n_start:], keys[n_start:]):
+                arrays = (existing, gt) if missing is None else (existing, missing, gt)
+                dev = self._device_batch(*arrays)
+                if missing is None:
+                    d_existing, d_gt = dev
+                    d_missing = None
+                else:
+                    d_existing, d_missing, d_gt = dev
                 loss, rec = self.val_step(
-                    self.params, jnp.asarray(existing),
-                    None if missing is None else jnp.asarray(missing),
-                    jnp.asarray(gt), key, ep, num_points=int(gt.shape[1]),
+                    self.params, d_existing, d_missing, d_gt,
+                    key, ep, num_points=int(gt.shape[1]),
                 )
                 device_losses.append(loss[None])
             all_losses = np.asarray(jnp.concatenate(device_losses))

@@ -150,7 +150,7 @@ def test_classes_accept_category_names(tmp_path):
     train, val, test = get_datasets(cfg)
     assert len(train) == 4
     assert list(val.keys()) == ["airplane"] and list(test.keys()) == ["airplane"]
-    with pytest.raises(KeyError):
+    with pytest.raises(ValueError, match="not_a_category"):
         MissingShapeNetDataset(str(tmp_path), split="train", classes=["not_a_category"])
 
 
