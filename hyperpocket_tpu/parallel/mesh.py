@@ -129,3 +129,45 @@ def param_shardings(mesh: Mesh, params: dict) -> Any:
 
 def shard_params(mesh: Mesh, params: dict):
     return jax.tree_util.tree_map(jax.device_put, params, param_shardings(mesh, params))
+
+
+def opt_state_shardings(mesh: Mesh, opt_abstract, params, p_shardings) -> Any:
+    """Sharding tree for an optax state built over ``params``.
+
+    Param-shaped moment leaves (Adam mu/nu and the like — optax nests the
+    param TREE inside its states, so their key paths end with the param's
+    key path) inherit the param's sharding; every other leaf (step counts,
+    injected hyperparams) replicates.
+
+    Why explicit: ``jax.jit(tx.init)(sharded_params)`` does NOT propagate
+    input shardings to the state on all backends — observed on CPU
+    (jax 0.8.x): every output leaf lands on device 0 with
+    SingleDeviceSharding, which leaves TP moments fully materialised per
+    device and makes the restored-state re-placement pin the state to one
+    device (incompatible-devices error against mesh params). Building the
+    sharding tree from the param shardings and passing it as
+    ``out_shardings`` is deterministic on every backend.
+
+    ``opt_abstract`` is ``jax.eval_shape(tx.init, params)`` (or a concrete
+    state with the same structure).
+    """
+    import jax.tree_util as jtu
+
+    sharding_leaves = jtu.tree_leaves(
+        p_shardings, is_leaf=lambda x: isinstance(x, jax.sharding.Sharding)
+    )
+    suffixes = [
+        (jtu.keystr(path), tuple(np.shape(leaf)), sh)
+        for (path, leaf), sh in zip(jtu.tree_leaves_with_path(params), sharding_leaves)
+    ]
+    repl = NamedSharding(mesh, P())
+
+    def spec_for(path, leaf):
+        ks = jtu.keystr(path)
+        shape = tuple(getattr(leaf, "shape", ()))
+        for suffix, pshape, sh in suffixes:
+            if ks.endswith(suffix) and shape == pshape:
+                return sh
+        return repl
+
+    return jtu.tree_map_with_path(spec_for, opt_abstract)

@@ -21,7 +21,7 @@ import time
 from dataclasses import dataclass
 from functools import partial
 from os import makedirs
-from os.path import join
+from os.path import exists, join
 
 import jax
 import jax.numpy as jnp
@@ -33,6 +33,7 @@ from hyperpocket_tpu.models import FullModel
 from hyperpocket_tpu.parallel.mesh import (
     DATA_AXIS,
     make_mesh,
+    opt_state_shardings,
     param_shardings,
     shard_batch,
     shard_scan_batch,
@@ -394,11 +395,17 @@ class Trainer:
             self.params = jax.tree_util.tree_map(
                 jax.device_put, self.params, self._param_shardings
             )
-            # re-init under jit so each Adam moment inherits its param's
-            # sharding (zeros_like propagates the input sharding); a plain
-            # replicate would leave TP moments fully materialised per device
-            self.opt_state = jax.jit(self.tx.init)(self.params)
-            self._opt_shardings = jax.tree_util.tree_map(lambda x: x.sharding, self.opt_state)
+            # re-init under jit with EXPLICIT out_shardings: each Adam moment
+            # gets its param's sharding (TP moments stay sharded, not
+            # materialised per device). jit's own output-sharding choice is
+            # backend-dependent — see opt_state_shardings.
+            self._opt_shardings = opt_state_shardings(
+                self.mesh, jax.eval_shape(self.tx.init, self.params),
+                self.params, self._param_shardings,
+            )
+            self.opt_state = jax.jit(self.tx.init, out_shardings=self._opt_shardings)(
+                self.params
+            )
             self.log.info("mesh: data=%d model=%d", n_data, n_model)
 
         prng_impl = str(tr.get("prng_impl", "threefry2x32"))
@@ -480,6 +487,16 @@ class Trainer:
         self.train_losses, self.val_losses, self.best_epoch_loss = ckpt.restore_metrics(
             self.metrics_path, epoch
         )
+        # restore the RNG key-counter so a resumed run reproduces the
+        # uninterrupted trajectory exactly (the counter is the only
+        # session-local state the step keys depend on); pre-round-4
+        # checkpoints lack the field and keep the fresh counter
+        s_path = join(self.weights_path, f"{epoch:05}_S.json")
+        if exists(s_path):
+            with open(s_path) as fh:
+                sched_state = json.load(fh)
+            if "seed_counter" in sched_state:
+                self._seed_counter = int(sched_state["seed_counter"])
         self.start_epoch = epoch + 1
         self.log.info("restored epoch %d", epoch)
 
@@ -777,7 +794,8 @@ class Trainer:
                     save_plot(sample[1].T, epoch, cat, self.samples_path, "val_gt")
 
             if (epoch % self.save_freq == 0 or is_new_best) and epoch > self.min_save_epoch:
-                sched_state = {"epoch": epoch, "lr": self.lr_schedule(epoch)}
+                sched_state = {"epoch": epoch, "lr": self.lr_schedule(epoch),
+                               "seed_counter": int(self._seed_counter)}
                 if self._async_ckpt is not None:
                     saved = self._async_ckpt.submit(
                         self.weights_path, self.metrics_path, epoch, self.params,

@@ -99,6 +99,32 @@ def test_resume_from_checkpoint(trained):
     np.testing.assert_allclose(np.array(t3[:2]), np.array(train_losses), rtol=1e-6)
 
 
+def test_resume_reproduces_uninterrupted_trajectory(tmp_path):
+    """Interrupt/resume == uninterrupted, bit-for-bit: the checkpoint's
+    scheduler json carries the RNG key counter, so the resumed epoch draws
+    the SAME step keys the uninterrupted run would have (trainer.py
+    _maybe_restore). Pre-round-4 checkpoints lack the field and keep the
+    fresh counter (loss parity then holds only to Adam-noise tolerance)."""
+    from hyperpocket_tpu.train.trainer import Trainer
+
+    root = tmp_path / "data"
+    make_synthetic_shapenet(root, n_models=6, n_gt=64, n_part=32)
+
+    cfg_full = make_config(root, tmp_path / "res_full", max_epoch=3)
+    t_full = Trainer(cfg_full, use_mesh=False)
+    full_train, full_val = t_full.run(plot_samples=False)
+
+    cfg_a = make_config(root, tmp_path / "res_resume", max_epoch=2)
+    Trainer(cfg_a, use_mesh=False).run(plot_samples=False)
+    cfg_b = make_config(root, tmp_path / "res_resume", max_epoch=3)
+    t_b = Trainer(cfg_b, use_mesh=False)
+    assert t_b.start_epoch == 3
+    res_train, res_val = t_b.run(plot_samples=False)
+
+    np.testing.assert_array_equal(np.array(res_train), np.array(full_train))
+    np.testing.assert_array_equal(np.array(res_val), np.array(full_val))
+
+
 def test_val_epoch_per_category(trained):
     _, trainer, _, _ = trained
     losses, samples = trainer.val_epoch(2)
