@@ -89,6 +89,64 @@ def pairwise_emd_cd(sample_pcs, ref_pcs, batch_size: int,
     return jnp.concatenate(rows_cd, axis=0), jnp.concatenate(rows_emd, axis=0)
 
 
+@jax.jit
+def _pair_ops(rows, cols, idx_r, idx_c):
+    """CD + EMD for an explicit pair list: op(rows[idx_r[p]], cols[idx_c[p]]).
+
+    Device-side gathers — rows/cols upload once per group, each chunk ships
+    only two (pair_block,) index vectors. Argument order matters: the approx
+    EMD is not symmetric, so per-pair values match the per-object loop only
+    with the same (row, col) operand order.
+    """
+    a = jnp.take(rows, idx_r, axis=0)
+    b = jnp.take(cols, idx_c, axis=0)
+    return _chamfer_per_cloud(a, b), earth_mover_distance(a, b)
+
+
+def pairwise_emd_cd_multi(row_pcs, col_sets, pair_block: int = 512):
+    """(G, R, S) CD and EMD matrices: entry [g, i, j] = op(row_g_i, col_sets[g, j]).
+
+    Flat-pair batching across OBJECTS (VERDICT r3 #3): evaluate_generativity
+    needs an (R, S) matrix per object; per-object ``pairwise_emd_cd`` pays
+    the ~29 ms dispatch floor per (row_block x chunk) tile per object. Here
+    all G*R*S pairs are enumerated flat and dispatched in uniform
+    ``pair_block`` chunks (last chunk padded, results sliced), with ONE
+    device fetch for the whole group. Per-pair values are identical — the
+    same jitted ops see the same operand pairs in the same order.
+
+    ``row_pcs`` is either one shared (R, Q, 3) set (every object against the
+    same rows — the M_rs case) or per-object (G, R, Q, 3) sets (the M_ss
+    self-distance case).
+    """
+    col_sets = jnp.asarray(col_sets)
+    G, S = col_sets.shape[:2]
+    col_flat = col_sets.reshape((G * S,) + tuple(col_sets.shape[2:]))
+    row_pcs = jnp.asarray(row_pcs)
+    per_object_rows = row_pcs.ndim == 4
+    if per_object_rows:
+        R = row_pcs.shape[1]
+        row_flat = row_pcs.reshape((G * R,) + tuple(row_pcs.shape[2:]))
+    else:
+        R = row_pcs.shape[0]
+        row_flat = row_pcs
+    n = G * R * S
+    cd_chunks, emd_chunks = [], []
+    for p0 in range(0, n, pair_block):
+        idx = np.arange(p0, min(p0 + pair_block, n), dtype=np.int64)
+        if idx.size < pair_block:
+            idx = np.concatenate([idx, np.zeros(pair_block - idx.size, np.int64)])
+        g, rem = np.divmod(idx, R * S)
+        i, j = np.divmod(rem, S)
+        r_idx = g * R + i if per_object_rows else i
+        c, e = _pair_ops(row_flat, col_flat,
+                         jnp.asarray(r_idx, jnp.int32), jnp.asarray(g * S + j, jnp.int32))
+        cd_chunks.append(c)
+        emd_chunks.append(e)
+    cd = np.asarray(jnp.concatenate(cd_chunks))[:n]
+    emd = np.asarray(jnp.concatenate(emd_chunks))[:n]
+    return cd.reshape(G, R, S), emd.reshape(G, R, S)
+
+
 def mmd_cov(all_dist: jax.Array) -> dict:
     """all_dist: (N_sample, N_ref) -> fidelity/coverage stats."""
     n_ref = all_dist.shape[1]
@@ -143,6 +201,50 @@ def compute_all_metrics(sample_pcs, ref_pcs, batch_size: int) -> dict:
     results.update({f"{k}-CD": v for k, v in mmd_cov(m_rs_cd.T).items()})
     results.update({f"{k}-EMD": v for k, v in mmd_cov(m_rs_emd.T).items()})
     return results
+
+
+@jax.jit
+def _mmd_cov_batch_core(all_dist):
+    """Per-object mmd_cov reductions on stacked (G, S, R) matrices — same
+    ops/axes as ``mmd_cov`` on each (S, R) slice, one dispatch per group."""
+    min_val_fromsmp = jnp.min(all_dist, axis=2)
+    min_idx = jnp.argmin(all_dist, axis=2)
+    min_val = jnp.min(all_dist, axis=1)
+    return jnp.mean(min_val, axis=1), jnp.mean(min_val_fromsmp, axis=1), min_idx
+
+
+def compute_all_metrics_multi(sample_sets, ref_pcs, pair_block: int = 512) -> list[dict]:
+    """Per-object ``compute_all_metrics``, batched across objects.
+
+    ``[g]`` equals ``compute_all_metrics(sample_sets[g], ref_pcs, ...)`` —
+    same pairwise values (pairwise_emd_cd_multi), same mmd_cov reductions
+    (one batched dispatch instead of per-object jnp round-trips).
+    """
+    m_cd, m_emd = pairwise_emd_cd_multi(ref_pcs, sample_sets, pair_block)
+    return mmd_cov_multi(m_cd, m_emd)
+
+
+def mmd_cov_multi(m_cd, m_emd) -> list[dict]:
+    """mmd_cov over stacked per-object (R, S) CD/EMD matrices (callers that
+    also need the raw matrices — e.g. the 1-NNA path — compute them once
+    with ``pairwise_emd_cd_multi`` and reduce here)."""
+    out: list[dict] = []
+    stats = {}
+    for tag, m in (("CD", m_cd), ("EMD", m_emd)):
+        # mmd_cov receives the transposed (S, R) orientation, as in
+        # compute_all_metrics: m[g] is (R, S) -> transpose to (G, S, R)
+        mmd, mmd_smp, min_idx = _mmd_cov_batch_core(jnp.asarray(m).transpose(0, 2, 1))
+        stats[tag] = (np.asarray(mmd), np.asarray(mmd_smp), np.asarray(min_idx))
+    n_ref = m_cd.shape[1]
+    for g in range(m_cd.shape[0]):
+        res = {}
+        for tag in ("CD", "EMD"):
+            mmd, mmd_smp, min_idx = stats[tag]
+            res[f"mmd(Fidelity)-{tag}"] = float(mmd[g])
+            res[f"cov(Coverage)-{tag}"] = float(np.unique(min_idx[g]).size) / float(n_ref)
+            res[f"mmd_smp-{tag}"] = float(mmd_smp[g])
+        out.append(res)
+    return out
 
 
 # ---------------------------------------------------------------------------

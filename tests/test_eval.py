@@ -262,3 +262,36 @@ def test_jsd_ref_grid_param(sets):
     full = jsd_between_point_cloud_sets(sample, ref)
     cached = jsd_between_point_cloud_sets(sample, ref_grid=ref_grid)
     assert cached == pytest.approx(full, abs=1e-12)
+
+
+def test_compute_all_metrics_multi_matches_loop():
+    """Object-batched metrics == per-object compute_all_metrics (VERDICT r3
+    #3): same pairwise values, same reductions, pad-tail chunks exercised."""
+    from hyperpocket_tpu.eval.metrics import compute_all_metrics_multi
+
+    rng = np.random.default_rng(3)
+    G, S, R = 3, 4, 5
+    samples = (rng.standard_normal((G, S, 48, 3)) * 0.2).astype(np.float32)
+    refs = (rng.standard_normal((R, 48, 3)) * 0.2).astype(np.float32)
+    multi = compute_all_metrics_multi(samples, refs, pair_block=7)
+    assert len(multi) == G
+    for g in range(G):
+        want = compute_all_metrics(samples[g], refs, batch_size=2)
+        assert set(multi[g]) == set(want)
+        for k in want:
+            assert multi[g][k] == pytest.approx(float(want[k]), rel=1e-5, abs=1e-7), k
+
+
+def test_pairwise_multi_per_object_rows():
+    """(G, R, Q, 3) per-object rows (the M_ss self-distance case) match the
+    per-object pairwise_emd_cd matrices."""
+    from hyperpocket_tpu.eval.metrics import pairwise_emd_cd_multi
+
+    rng = np.random.default_rng(4)
+    G, S = 3, 4
+    sets_ = (rng.standard_normal((G, S, 48, 3)) * 0.2).astype(np.float32)
+    m_cd, m_emd = pairwise_emd_cd_multi(sets_, sets_, pair_block=5)
+    for g in range(G):
+        cd_g, emd_g = pairwise_emd_cd(sets_[g], sets_[g], batch_size=3)
+        np.testing.assert_allclose(m_cd[g], np.asarray(cd_g), rtol=1e-5, atol=1e-7)
+        np.testing.assert_allclose(m_emd[g], np.asarray(emd_g), rtol=1e-5, atol=1e-7)

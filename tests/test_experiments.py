@@ -309,3 +309,44 @@ def test_evaluate_generativity_matches_loop_form(trained_setup, tmp_path):
         assert got[k] == pytest.approx(expected[k], rel=1e-5, abs=1e-7), (
             k, got[k], expected[k]
         )
+
+
+def test_evaluate_generativity_1nna_flag(trained_setup, tmp_path):
+    """include_1nna adds the reference's commented-out 1-NN accuracy keys
+    (utils/metrics.py:224-237) without perturbing the parity keys: the same
+    ctx/key stream yields identical base metrics with the flag on and off."""
+    from hyperpocket_tpu.eval.experiments import ExperimentContext, evaluate_generativity
+
+    config, trainer = trained_setup
+    rng = np.random.default_rng(11)
+    ds = [
+        (
+            (rng.standard_normal((32, 3)) * 0.3).astype(np.float32),
+            (rng.standard_normal((1024, 3)) * 0.3).astype(np.float32),
+            (rng.standard_normal((64, 3)) * 0.3).astype(np.float32),
+            "airplane",
+        )
+        for _ in range(4)
+    ]
+
+    ctx = ExperimentContext(trainer.model, trainer.params, epoch=1, seed=77)
+    base = evaluate_generativity(
+        ctx, {"airplane": ds}, str(tmp_path / "off"), 1,
+        batch_size=2, std=0.05, dispatch_clouds=4,
+    )["airplane"]
+    assert not any("1-NN" in k for k in base)
+
+    ctx2 = ExperimentContext(trainer.model, trainer.params, epoch=1, seed=77)
+    with_nna = evaluate_generativity(
+        ctx2, {"airplane": ds}, str(tmp_path / "on"), 1,
+        batch_size=2, std=0.05, dispatch_clouds=4, include_1nna=True,
+    )["airplane"]
+
+    for k, v in base.items():
+        assert with_nna[k] == pytest.approx(v, rel=1e-6), k
+    nna_keys = [k for k in with_nna if k.startswith("1-NN-")]
+    assert {f"1-NN-{t}-{a}" for t in ("CD", "EMD")
+            for a in ("acc", "acc_t", "acc_f")} <= set(nna_keys)
+    # per-object accuracies in [0, 1], summed over 4 objects
+    for k in nna_keys:
+        assert 0.0 <= with_nna[k] <= 4.0 + 1e-6, (k, with_nna[k])
