@@ -209,3 +209,32 @@ def test_compile_cache_disabled_by_env(monkeypatch):
     monkeypatch.setattr(compile_cache, "_enabled_dir", None)
     monkeypatch.setenv("HPCD_COMPILE_CACHE", "0")
     assert compile_cache.enable_compile_cache() is None
+
+
+def test_download_shapenet_2048_file_url(tmp_path):
+    """The download flow end-to-end against a local file:// archive laid out
+    like the dropbox zip (everything nested under
+    shape_net_core_uniform_samples_2048/ — reference
+    util_scripts/download_shapenet_2048.py:10-40): fetch, extract, flatten
+    the category dirs to the root, remove the archive and the nest dir."""
+    import zipfile
+
+    from util_scripts import download_shapenet_2048 as dl
+
+    archive = tmp_path / "shape_net_core_uniform_samples_2048.zip"
+    with zipfile.ZipFile(archive, "w") as zf:
+        zf.writestr("shape_net_core_uniform_samples_2048/02691156/model0.ply", "ply")
+        zf.writestr("shape_net_core_uniform_samples_2048/03001627/model1.ply", "ply")
+        zf.writestr("shape_net_core_uniform_samples_2048/train.list", "x")
+    url = "file://" + str(archive)
+
+    dest = tmp_path / "ds"
+    dl.main({"dataset": {"path": str(dest)}}, url=url)
+    assert (dest / "02691156" / "model0.ply").exists()
+    assert (dest / "03001627" / "model1.ply").exists()
+    assert (dest / "train.list").exists()
+    assert not (dest / "shape_net_core_uniform_samples_2048").exists()
+    assert not list(dest.glob("*.zip"))
+
+    with pytest.raises(Exception, match="already exists"):
+        dl.main({"dataset": {"path": str(dest)}}, url=url)

@@ -22,15 +22,17 @@ from hyperpocket_tpu.train.config import parse_config
 URL = "https://www.dropbox.com/s/vmsdrae6x5xws1v/shape_net_core_uniform_samples_2048.zip?dl=1"
 
 
-def main(config: dict) -> None:
+def main(config: dict, url: str = URL) -> None:
+    """``url`` is overridable so the flow is testable against a local
+    ``file://`` archive (tests/test_utils.py) — urllib serves both schemes."""
     dataset_path = config["dataset"]["path"]
     if exists(dataset_path):
         raise Exception(f"directory {dataset_path} already exists")
     makedirs(dataset_path)
 
-    filename = URL.rpartition("/")[2][:-5]
+    filename = url.rpartition("/")[2].removesuffix("?dl=1")
     file_path = join(dataset_path, filename)
-    with urllib.request.urlopen(URL) as response, open(file_path, "wb") as fh:
+    with urllib.request.urlopen(url) as response, open(file_path, "wb") as fh:
         shutil.copyfileobj(response, fh)
 
     print("Extracting...")
