@@ -320,7 +320,7 @@ def evaluate_generativity(ctx: ExperimentContext, datasets_dict, results_dir: st
     from hyperpocket_tpu.eval.metrics import (
         entropy_of_occupancy_grid,
         jsd_between_point_cloud_sets,
-        knn,
+        knn_batch_1nna,
         mmd_cov_multi,
         pairwise_emd_cd,
         pairwise_emd_cd_multi,
@@ -357,10 +357,6 @@ def evaluate_generativity(ctx: ExperimentContext, datasets_dict, results_dir: st
         if include_1nna:
             # ref-ref matrix is object-independent: once per category
             m_rr_cd, m_rr_emd = pairwise_emd_cd(cat_gt, cat_gt, batch_size)
-            knn_batch = jax.jit(jax.vmap(
-                lambda xx, xy, yy: knn(xx, xy, yy, 1, sqrt=False),
-                in_axes=(None, 0, 0),
-            ))
         for o0 in range(0, len(ds), group):
             objs = existing_objs[o0 : o0 + group]
             recs = _generate_completion_sets(
@@ -374,7 +370,7 @@ def evaluate_generativity(ctx: ExperimentContext, datasets_dict, results_dir: st
                 m_ss_cd, m_ss_emd = pairwise_emd_cd_multi(recs, recs, dispatch_clouds)
                 for tag, m_rr, m_rs, m_ss in (("CD", m_rr_cd, m_rs_cd, m_ss_cd),
                                               ("EMD", m_rr_emd, m_rs_emd, m_ss_emd)):
-                    res = jax.device_get(knn_batch(
+                    res = jax.device_get(knn_batch_1nna(
                         jnp.asarray(m_rr), jnp.asarray(m_rs), jnp.asarray(m_ss)))
                     for k, v in res.items():
                         if "acc" in k:

@@ -142,9 +142,10 @@ def pairwise_emd_cd_multi(row_pcs, col_sets, pair_block: int = 512):
                          jnp.asarray(r_idx, jnp.int32), jnp.asarray(g * S + j, jnp.int32))
         cd_chunks.append(c)
         emd_chunks.append(e)
-    cd = np.asarray(jnp.concatenate(cd_chunks))[:n]
-    emd = np.asarray(jnp.concatenate(emd_chunks))[:n]
-    return cd.reshape(G, R, S), emd.reshape(G, R, S)
+    # one fetch for the whole group (per-leaf np.asarray is seconds per leaf
+    # over the axon tunnel; each fetch pays a ~29 ms round-trip floor)
+    cd, emd = jax.device_get((jnp.concatenate(cd_chunks), jnp.concatenate(emd_chunks)))
+    return cd[:n].reshape(G, R, S), emd[:n].reshape(G, R, S)
 
 
 def mmd_cov(all_dist: jax.Array) -> dict:
@@ -190,6 +191,16 @@ def knn(mxx, mxy, myy, k: int, sqrt: bool = False) -> dict:
     }
 
 
+# Module-level so repeat callers (one per category in evaluate_generativity's
+# 1-NNA path) share one compilation per matrix shape — a fresh jit(vmap(lambda))
+# per call site defeats the cache, and new-callable compiles over the axon
+# toolchain are erratic (CLAUDE.md).
+knn_batch_1nna = jax.jit(jax.vmap(
+    lambda mxx, mxy, myy: knn(mxx, mxy, myy, 1, sqrt=False),
+    in_axes=(None, 0, 0),
+))
+
+
 def compute_all_metrics(sample_pcs, ref_pcs, batch_size: int) -> dict:
     """MMD/COV over CD & EMD (reference compute_all_metrics, metrics.py:209-238).
 
@@ -233,8 +244,9 @@ def mmd_cov_multi(m_cd, m_emd) -> list[dict]:
     for tag, m in (("CD", m_cd), ("EMD", m_emd)):
         # mmd_cov receives the transposed (S, R) orientation, as in
         # compute_all_metrics: m[g] is (R, S) -> transpose to (G, S, R)
-        mmd, mmd_smp, min_idx = _mmd_cov_batch_core(jnp.asarray(m).transpose(0, 2, 1))
-        stats[tag] = (np.asarray(mmd), np.asarray(mmd_smp), np.asarray(min_idx))
+        stats[tag] = _mmd_cov_batch_core(jnp.asarray(m).transpose(0, 2, 1))
+    # one fetch for all six leaves (vs six ~29 ms tunnel round-trips)
+    stats = jax.device_get(stats)
     n_ref = m_cd.shape[1]
     for g in range(m_cd.shape[0]):
         res = {}

@@ -128,6 +128,30 @@ def test_generate_partial_dataset_script(tmp_path):
         assert ex.shape[0] + mi.shape[0] == 2048
 
 
+def test_generate_partial_dataset_seeded_regeneration(tmp_path):
+    """Same (seed, category, model) -> bit-identical slices across runs
+    (the reference's unseeded Ray workers regenerate differently every time);
+    a different seed produces different slices."""
+    from tests.test_data import CAT, make_synthetic_shapenet
+    from util_scripts import generate_partial_dataset as gps
+    from hyperpocket_tpu.data.plyio import load_ply
+
+    first = {}
+    for run in range(3):
+        root = tmp_path / f"run{run}"
+        make_synthetic_shapenet(root, n_models=1, n_gt=2048)
+        seed = 7 if run == 2 else 0
+        gps.generate_one_shapenet((CAT, "model000.ply"), str(root),
+                                  num_samples=2, seed=seed)
+        ex = load_ply(join(root, "slices", "existing", CAT, "0~model000.ply"))
+        if run == 0:
+            first["ex"] = ex
+        elif run == 1:
+            np.testing.assert_array_equal(ex, first["ex"])
+        else:
+            assert not np.array_equal(ex, first["ex"])
+
+
 def test_get_filenames_by_cat(tmp_path):
     from hyperpocket_tpu.data.base import get_filenames_by_cat
     from tests.test_data import CAT, make_synthetic_shapenet

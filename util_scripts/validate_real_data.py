@@ -40,6 +40,7 @@ import hashlib
 import json
 import os
 import sys
+import tarfile
 import time
 import zipfile
 from os.path import basename, exists, isdir, join
@@ -91,17 +92,22 @@ def stage_checksum(data_root: str, manifest_path: str | None) -> dict:
 
 
 def stage_ingest(data_root: str, work: str, dataset: str, classes: list[str],
-                 num_samples: int) -> str:
+                 num_samples: int, seed: int = 0) -> str:
     """Extract archives if needed, verify layout, build slices/. Returns the
-    dataset root the training config should point at."""
+    dataset root the training config should point at. Idempotent: a workdir
+    tree already extracted by a previous run is reused as-is."""
     # already-extracted tree directly at data_root?
     root = data_root if _layout_ok(data_root, dataset, classes) else join(work, "dataset")
-    if root != data_root:
+    if root != data_root and not _layout_ok(root, dataset, classes):
         os.makedirs(root, exist_ok=True)
         for f in sorted(os.listdir(data_root)):
+            path = join(data_root, f)
             if f.endswith(".zip"):
-                with zipfile.ZipFile(join(data_root, f)) as zf:
+                with zipfile.ZipFile(path) as zf:
                     zf.extractall(root)
+            elif f.endswith((".tar", ".tar.gz", ".tgz")):
+                with tarfile.open(path) as tf:
+                    tf.extractall(root)
         # the PCN zip nests everything under shape_net_core_uniform_samples_2048/
         # (reference download_shapenet_2048.py:33-40) — flatten it
         nested = join(root, "shape_net_core_uniform_samples_2048")
@@ -114,16 +120,16 @@ def stage_ingest(data_root: str, work: str, dataset: str, classes: list[str],
                 f"ingest stage FAILED: extracted tree at {root} does not match the "
                 f"{dataset} layout (see module docstring for the expected directories)"
             )
-    if dataset == "3depn" and not exists(join(root, "slices", "gt")):
+    slices_probe = "gt" if dataset == "3depn" else "existing"
+    if not exists(join(root, "slices", slices_probe)):
         print("ingest: building slices/ via generate_partial_dataset ...", flush=True)
         import generate_partial_dataset as gpd
 
-        gpd.main({"dataset": {"name": "3depn", "path": root, "num_samples": num_samples}})
-    if dataset == "shapenet" and not exists(join(root, "slices", "existing")):
-        print("ingest: building slices/ via generate_partial_dataset ...", flush=True)
-        import generate_partial_dataset as gpd
-
-        gpd.main({"dataset": {"name": "shapenet", "path": root, "num_samples": num_samples}})
+        # thread setup.seed through so a manual `generate_partial_dataset.py
+        # -c <config>` regeneration of the same tree is bit-identical
+        gpd.main({"dataset": {"name": dataset, "path": root,
+                              "num_samples": num_samples},
+                  "setup": {"seed": seed}})
     return root
 
 
@@ -183,10 +189,14 @@ def stage_experiments(config: dict, out_dir: str, gen_objects: int) -> dict:
     if "evaluate_generativity" in on:
         # 3D-EPN test items carry the reference's scalar missing-part
         # placeholder; generativity needs real missing halves -> val slice
-        cat, ds = next(iter(val_dict.items()))
         probe = next(iter(test_dict.values()))[0][1]
-        gen_dict = ({cat: _Subset(ds, gen_objects)}
-                    if np.ndim(probe) != 2 else test_dict)
+        if np.ndim(probe) == 2:
+            # test items carry real missing halves — still cap at
+            # --gen-objects per category (pairwise metrics are O(N^2))
+            gen_dict = {c: _Subset(d, gen_objects) for c, d in test_dict.items()}
+        else:
+            cat, ds = next(iter(val_dict.items()))
+            gen_dict = {cat: _Subset(ds, gen_objects)}
         run(["evaluate_generativity"], gen_dict)
     if merge_cats:
         wide = dict(config["dataset"])
@@ -252,7 +262,8 @@ def main(argv=None) -> int:
 
     print("== stage 2/5: ingest ==", flush=True)
     root = stage_ingest(args.data_root, work, args.dataset, classes,
-                        args.num_samples or config["dataset"].get("num_samples", 4))
+                        args.num_samples or config["dataset"].get("num_samples", 4),
+                        seed=config.get("setup", {}).get("seed", 0))
     summary["stages"]["ingest"] = {"dataset_root": root}
 
     config = copy.deepcopy(config)
