@@ -214,3 +214,48 @@ def test_3depn_cache(tmp_path):
     if len(ds_val):
         ds_val[0]
         assert len(ds_val._cache) == 3
+
+
+def test_synthetic_completion3d_generator(tmp_path):
+    """Production-shape synthetic Completion3D tree loads through the
+    dataset family end-to-end (all three v2 categories, 2048-pt clouds,
+    test split partial-only)."""
+    pytest.importorskip("h5py")
+    from util_scripts.make_synthetic_completion3d import make_synthetic_completion3d
+
+    make_synthetic_completion3d(str(tmp_path), n_per_cat=3, seed=0, n_points=256)
+    train = Completion3DDataset(str(tmp_path), split="train")
+    assert len(train) > 0
+    existing, missing, gt, name = train[0]
+    assert existing.shape == (256, 3) and gt.shape == (256, 3)
+    assert np.ndim(missing) == 0  # scalar placeholder, completion3d.py:48
+    test = Completion3DDataset(str(tmp_path), split="test")
+    if len(test):
+        e, _, g, _ = test[0]
+        np.testing.assert_array_equal(np.asarray(e), np.asarray(g))
+    # all three v2 family categories present across the splits
+    cats = set()
+    for split in ("train", "val", "test"):
+        with open(join(tmp_path, f"{split}.list")) as fh:
+            cats.update(line.split("/")[0] for line in fh.read().splitlines() if line)
+    assert cats == {"02691156", "03001627", "04379243"}
+
+
+def test_synthetic_3depn_table_family(tmp_path):
+    """The v2 table family generates a valid 3D-EPN tree entry: thin top
+    slab above four legs, consumable by the 3D-EPN dataset."""
+    from util_scripts.make_synthetic_3depn import TABLE, make_synthetic_3depn
+
+    make_synthetic_3depn(str(tmp_path), {TABLE: 4}, seed=0, style="v2")
+    pc_dir = join(tmp_path, "ShapeNetPointCloud", TABLE)
+    files = sorted(os.listdir(pc_dir))
+    assert len(files) == 4
+    from hyperpocket_tpu.data.plyio import load_ply
+
+    pts = load_ply(join(pc_dir, files[0]))
+    assert pts.shape[1] == 3 and np.isfinite(pts).all()
+    # structure: points well below the top slab exist (legs), and the
+    # z-extent exceeds the top slab's own thickness many times over
+    z = pts[:, 2]
+    assert z.max() - z.min() > 0.15
+    assert (z < z.max() - 0.1).sum() > 50

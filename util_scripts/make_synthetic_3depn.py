@@ -46,7 +46,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from hyperpocket_tpu.data.plyio import save_ply
 from hyperpocket_tpu.data.shapenet_3depn import _AXIS_SWAP
 
-CHAIR, AIRPLANE = "03001627", "02691156"
+CHAIR, AIRPLANE, TABLE = "03001627", "02691156", "04379243"
 
 
 def _superellipsoid(rng, n):
@@ -156,8 +156,40 @@ def _airplane_parts(rng, n):
     return _sample_parts(rng, n, parts)
 
 
-FAMILIES = {CHAIR: _superellipsoid, AIRPLANE: _airplane}
-FAMILIES_V2 = {CHAIR: _chair_parts, AIRPLANE: _airplane_parts}
+def _table(rng, n):
+    """v1 table: squat boxy superellipsoid (wide x/y, thin z, high p)."""
+    axes = np.array([rng.uniform(0.3, 0.45), rng.uniform(0.25, 0.4),
+                     rng.uniform(0.04, 0.1)])
+    p = rng.uniform(4.0, 8.0)
+    d = rng.standard_normal((n, 3))
+    norm = np.power(np.sum(np.abs(d) ** p, axis=1), 1.0 / p)
+    return (axes * d / norm[:, None]).astype(np.float32)
+
+
+def _table_parts(rng, n):
+    """v2 table: wide thin top slab + 4 long thin legs — taller and wider
+    than the chair family, no backrest, so the three v2 categories stay
+    parametrically distinct for cross-category experiments."""
+    top_w = rng.uniform(0.28, 0.42)
+    top_d = rng.uniform(0.2, 0.34)
+    top_t = rng.uniform(0.012, 0.025)
+    top_h = rng.uniform(0.08, 0.16)
+    leg_len = rng.uniform(0.22, 0.34)
+    leg_r = rng.uniform(0.012, 0.022)
+    parts = [((top_w, top_d, top_t), (0, 0, top_h))]
+    for sx in (-1, 1):
+        for sy in (-1, 1):
+            parts.append((
+                (leg_r, leg_r, leg_len / 2),
+                (sx * (top_w - leg_r * 2), sy * (top_d - leg_r * 2),
+                 top_h - top_t - leg_len / 2),
+            ))
+    return _sample_parts(rng, n, parts)
+
+
+FAMILIES = {CHAIR: _superellipsoid, AIRPLANE: _airplane, TABLE: _table}
+FAMILIES_V2 = {CHAIR: _chair_parts, AIRPLANE: _airplane_parts,
+               TABLE: _table_parts}
 
 
 def make_synthetic_3depn(root: str, n_models: dict[str, int], seed: int = 0,
@@ -209,6 +241,10 @@ if __name__ == "__main__":
     n_air = int(sys.argv[3]) if len(sys.argv) > 3 else 150
     seed = int(sys.argv[4]) if len(sys.argv) > 4 else 0
     style = sys.argv[5] if len(sys.argv) > 5 else "v1"
+    n_table = int(sys.argv[6]) if len(sys.argv) > 6 else 0
     if style not in ("v1", "v2"):
         sys.exit(f"style must be v1 or v2, got {style!r}")
-    make_synthetic_3depn(out, {CHAIR: n_chair, AIRPLANE: n_air}, seed, style)
+    counts = {CHAIR: n_chair, AIRPLANE: n_air}
+    if n_table:
+        counts[TABLE] = n_table
+    make_synthetic_3depn(out, counts, seed, style)
