@@ -74,7 +74,9 @@ def main():
             {cat: ds}, join(exp_root, cat))
 
     # 2. generativity across all categories in one pass, with 1-NNA
-    gen_dict = {c: _Subset(d, GEN_OBJECTS) for c, d in sorted(val_dict.items())}
+    # (categories whose val split came up empty are skipped, not crashed on)
+    gen_dict = {c: _Subset(d, GEN_OBJECTS)
+                for c, d in sorted(val_dict.items()) if len(d)}
     run("evaluate_generativity(all cats, 1-NNA)", ["evaluate_generativity"],
         gen_dict, exp_root,
         extra={"evaluate_generativity": {"include_1nna": True}})

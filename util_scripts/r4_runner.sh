@@ -28,6 +28,9 @@ set -u
 REPO=/root/repo
 OUT=${R4_OUT:-$REPO/results/dress_rehearsal_r4}
 CONFIG=$OUT/config.json
+# experiments driver: override for rehearsal variants, e.g.
+#   R4_EXPERIMENTS="util_scripts/dress_rehearsal_multicat.py $OUT"
+EXPERIMENTS=${R4_EXPERIMENTS:-util_scripts/dress_rehearsal_r4.py}
 export R4_OUT="$OUT"
 RLOG=$OUT/runner.log
 WEDGE_S=1500          # 25 min of log silence => wedged
@@ -125,7 +128,7 @@ while true; do
     exit 0
   fi
   wait_healthy || exit 0
-  if run_stage experiments python util_scripts/dress_rehearsal_r4.py; then
+  if run_stage experiments python $EXPERIMENTS; then
     break
   fi
   note "experiments stage failed; retrying after health re-poll"
