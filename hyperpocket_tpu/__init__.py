@@ -27,3 +27,18 @@ utils     Logging, plotting, Telegram notifications, misc helpers.
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+_plat = _os.environ.get("HPCD_PLATFORM")
+if _plat:
+    # Reliable platform override. ``JAX_PLATFORMS`` alone is NOT enough in
+    # environments whose site hooks register a chip plugin and then rewrite
+    # ``jax.config.jax_platforms`` (observed: axon's register() turns
+    # env ``cpu`` into config ``'axon,cpu'``, so jax still picks the chip).
+    # ``jax.config.update`` wins over both as long as it runs before the
+    # backend initializes — i.e. set HPCD_PLATFORM before the first
+    # ``hyperpocket_tpu`` import and before any ``jax.devices()`` call.
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _plat)

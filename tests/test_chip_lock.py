@@ -113,3 +113,30 @@ def test_contention_resolves_when_holder_exits(tmp_path):
 def test_disabled_by_env(tmp_path, monkeypatch):
     monkeypatch.setenv("HPCD_CHIP_LOCK", "0")
     assert not _platform_is_chip()
+
+
+def test_hpcd_platform_overrides_site_hook():
+    # Site hooks that register a chip plugin can rewrite
+    # ``jax.config.jax_platforms`` (axon's register() turns env ``cpu`` into
+    # ``'axon,cpu'``), silently defeating JAX_PLATFORMS=cpu — observed live:
+    # a "CPU" smoke became a chip client and queued on the chip lock for an
+    # hour. HPCD_PLATFORM, honored at ``import hyperpocket_tpu``, must win
+    # over such a pre-import rewrite.
+    code = (
+        "import jax;"
+        "jax.config.update('jax_platforms', 'axon,cpu');"  # simulated hook
+        "import hyperpocket_tpu;"
+        "from hyperpocket_tpu.utils.chip_lock import _platform_is_chip;"
+        "assert jax.config.jax_platforms == 'cpu', jax.config.jax_platforms;"
+        "assert jax.default_backend() == 'cpu';"
+        "assert not _platform_is_chip();"
+        "print('OK')"
+    )
+    env = dict(os.environ, HPCD_PLATFORM="cpu")
+    env.pop("JAX_PLATFORMS", None)
+    p = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True, text=True, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert p.returncode == 0 and "OK" in p.stdout, p.stderr + p.stdout
