@@ -73,10 +73,22 @@ class _ConcatDataset:
 
 
 def _scoped_config(config, names):
-    """Config with only ``names`` executing (others keep settings, off)."""
+    """Config with only ``names`` executing (others keep settings, off).
+
+    ``run_experiments`` executes in config-settings order (reference
+    core/main.py:184), and json.dump(sort_keys=True) configs come out
+    alphabetical — where ``compute_mmd_tmd_uhd`` precedes the ``fixed``
+    pass it consumes. The driver's pass semantics are the ``names`` list's
+    order, so reorder the settings dict to match it (executing entries
+    first, in ``names`` order; the rest keep their relative order, off).
+    """
     out = copy.deepcopy(config)
-    for name, ex_cfg in out["experiments"]["settings"].items():
+    settings = out["experiments"]["settings"]
+    ordered = {n: settings[n] for n in names if n in settings}
+    ordered.update({k: v for k, v in settings.items() if k not in ordered})
+    for name, ex_cfg in ordered.items():
         ex_cfg["execute"] = name in names
+    out["experiments"]["settings"] = ordered
     return out
 
 
