@@ -354,6 +354,15 @@ class Trainer:
             num_workers=tcfg.get("num_workers", 8),
             seed=config["setup"]["seed"],
         )
+        # Skip categories with no val items (e.g. Completion3D "classes": []
+        # expands to all 8 categories but a corpus may only populate some):
+        # an empty loader would report a constant 0.0 row every epoch and
+        # dilute the printed total. The reference never guards this (its
+        # epoch loop divides by a zero batch count); dropping the category
+        # up front with a log line is the actionable behavior.
+        for cat, ds in self.val_dataset_dict.items():
+            if len(ds) == 0:
+                self.log.info("val category %s: no items in split, skipped", cat)
         self.val_loaders = {
             cat: BatchLoader(
                 ds,
@@ -364,6 +373,7 @@ class Trainer:
                 seed=config["setup"]["seed"] + 1,
             )
             for cat, ds in self.val_dataset_dict.items()
+            if len(ds) > 0
         }
         self.profile_cfg = tr.get("profile", {})
         # training.checkpoint = {"async": true, "drop_if_busy": true}: fetch
@@ -432,6 +442,14 @@ class Trainer:
             if self.epoch_mode == "scan"
             else None
         )
+
+        # Observability for dryruns/tests: how many times the scanned train /
+        # val epoch bodies actually executed (n_scan > 1 engaged). A config
+        # with epoch_mode="scan" but only one uniform batch silently falls
+        # through to the per-batch path; asserting on these counters is how
+        # a harness proves the lax.scan path really ran.
+        self.scan_invocations = 0
+        self.val_scan_invocations = 0
 
         self.train_losses: list[np.ndarray] = []
         self.val_losses: list[np.ndarray] = []
@@ -516,6 +534,27 @@ class Trainer:
             return shard_scan_batch(self.mesh, *arrays)
         return arrays
 
+    def _device_triplet(self, existing, missing, gt):
+        """Place one (existing, missing|None, gt) batch on device/mesh and
+        return it unpacked — the shared prologue of all four epoch loops."""
+        arrays = (existing, gt) if missing is None else (existing, missing, gt)
+        dev = self._device_batch(*arrays)
+        if missing is None:
+            return dev[0], None, dev[1]
+        return dev
+
+    def _device_scan_stack(self, batches, n_scan, use_missing):
+        """Stack the uniform batch prefix into (S, B, ...) scan inputs and
+        place them (batch axis sharded over the data axis under a mesh)."""
+        stacked = [np.stack([b[0] for b in batches[:n_scan]]),
+                   np.stack([b[2] for b in batches[:n_scan]])]
+        if use_missing:
+            stacked.insert(1, np.stack([b[1] for b in batches[:n_scan]]))
+        dev = self._device_scan_batch(*stacked)
+        if use_missing:
+            return dev[0], dev[1], dev[2]
+        return dev[0], None, dev[1]
+
     def _prep_missing(self, missing, batch):
         """HyperRec ignores missing; Completion3D yields scalar placeholders."""
         if not self.uses_missing or not isinstance(missing, np.ndarray) or missing.ndim != 3:
@@ -536,13 +575,7 @@ class Trainer:
         ep = jnp.asarray(float(epoch))
         for existing, missing, gt, _ in self.train_loader.epoch(epoch):
             missing = self._prep_missing(missing, existing.shape[0])
-            arrays = (existing, gt) if missing is None else (existing, missing, gt)
-            dev = self._device_batch(*arrays)
-            if missing is None:
-                d_existing, d_gt = dev
-                d_missing = None
-            else:
-                d_existing, d_missing, d_gt = dev
+            d_existing, d_missing, d_gt = self._device_triplet(existing, missing, gt)
             inject = (
                 self.injection_provider(epoch, n_batches)
                 if self.injection_provider is not None
@@ -594,30 +627,19 @@ class Trainer:
         loss_rows = []
         rec = None
         if n_scan > 1:
-            stacked = [np.stack([b[0] for b in batches[:n_scan]]),
-                       np.stack([b[2] for b in batches[:n_scan]])]
-            if use_missing:
-                stacked.insert(1, np.stack([b[1] for b in batches[:n_scan]]))
-            dev = self._device_scan_batch(*stacked)
-            ex_s, gt_s = (dev[0], dev[1]) if not use_missing else (dev[0], dev[2])
-            mi_s = dev[1] if use_missing else None
+            ex_s, mi_s, gt_s = self._device_scan_stack(batches, n_scan, use_missing)
             k_s = jnp.asarray(np.asarray(keys[:n_scan], np.uint32))
             self.params, self.opt_state, rec, losses = self._epoch_scan_fn(
                 self.params, self.opt_state, ex_s, mi_s, gt_s, k_s, ep,
                 num_points=num_points,
             )
+            self.scan_invocations += 1
             loss_rows.append(losses)
             n_start = n_scan
         else:
             n_start = 0
         for (existing, missing, gt), key in zip(batches[n_start:], keys[n_start:]):
-            arrays = (existing, gt) if missing is None else (existing, missing, gt)
-            dev = self._device_batch(*arrays)
-            if missing is None:
-                d_existing, d_gt = dev
-                d_missing = None
-            else:
-                d_existing, d_missing, d_gt = dev
+            d_existing, d_missing, d_gt = self._device_triplet(existing, missing, gt)
             self.params, self.opt_state, loss, loss_r, loss_k, rec = self.train_step(
                 self.params, self.opt_state, d_existing, d_missing, d_gt,
                 key, ep, num_points=int(gt.shape[1]),
@@ -644,13 +666,7 @@ class Trainer:
                 # same mesh placement as the train epoch — on a DP/TP mesh
                 # val batches shard over the data axis (a multi-host mesh
                 # would otherwise fail on un-addressable default placement)
-                arrays = (existing, gt) if missing is None else (existing, missing, gt)
-                dev = self._device_batch(*arrays)
-                if missing is None:
-                    d_existing, d_gt = dev
-                    d_missing = None
-                else:
-                    d_existing, d_missing, d_gt = dev
+                d_existing, d_missing, d_gt = self._device_triplet(existing, missing, gt)
                 loss, rec = self.val_step(
                     self.params, d_existing, d_missing, d_gt,
                     self._next_key(), ep, num_points=int(gt.shape[1]),
@@ -697,29 +713,18 @@ class Trainer:
             device_losses = []
             rec = None
             if n_scan > 1:
-                stacked = [np.stack([b[0] for b in batches[:n_scan]]),
-                           np.stack([b[2] for b in batches[:n_scan]])]
-                if use_missing:
-                    stacked.insert(1, np.stack([b[1] for b in batches[:n_scan]]))
-                dev = self._device_scan_batch(*stacked)
-                ex_s, gt_s = (dev[0], dev[1]) if not use_missing else (dev[0], dev[2])
-                mi_s = dev[1] if use_missing else None
+                ex_s, mi_s, gt_s = self._device_scan_stack(batches, n_scan, use_missing)
                 k_s = jnp.asarray(np.asarray(keys[:n_scan], np.uint32))
                 losses, rec = self._val_epoch_scan_fn(
                     self.params, ex_s, mi_s, gt_s, k_s, ep, num_points=num_points,
                 )
+                self.val_scan_invocations += 1
                 device_losses.append(losses)
                 n_start = n_scan
             else:
                 n_start = 0
             for (existing, missing, gt), key in zip(batches[n_start:], keys[n_start:]):
-                arrays = (existing, gt) if missing is None else (existing, missing, gt)
-                dev = self._device_batch(*arrays)
-                if missing is None:
-                    d_existing, d_gt = dev
-                    d_missing = None
-                else:
-                    d_existing, d_missing, d_gt = dev
+                d_existing, d_missing, d_gt = self._device_triplet(existing, missing, gt)
                 loss, rec = self.val_step(
                     self.params, d_existing, d_missing, d_gt,
                     key, ep, num_points=int(gt.shape[1]),

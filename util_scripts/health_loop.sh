@@ -47,9 +47,13 @@ run_stage() { # name, cmd...
 
 run_stage diagnose python -m hyperpocket_tpu.diagnose || exit 1
 run_stage suite python -m pytest tests/ -q || exit 1
-run_stage dryrun env JAX_PLATFORMS=cpu \
+# HPCD_PLATFORM (not just JAX_PLATFORMS): the axon site hook rewrites
+# jax_platforms to 'axon,cpu', so env cpu alone would make the PARENT an
+# unlocked chip client just to count devices (the subprocess re-exec strips
+# the axon site anyway; this keeps the parent off the tunnel entirely).
+run_stage dryrun env JAX_PLATFORMS=cpu HPCD_PLATFORM=cpu \
   XLA_FLAGS=--xla_force_host_platform_device_count=8 \
-  python -c "import __graft_entry__ as g; g.dryrun_multichip(8)" || exit 1
+  python -c "import hyperpocket_tpu, __graft_entry__ as g; g.dryrun_multichip(8)" || exit 1
 # Chip stages: no timeout wrappers, chip-locked internally.
 run_stage bench python bench.py || exit 1
 run_stage smoke python util_scripts/determinism_smoke.py || exit 1

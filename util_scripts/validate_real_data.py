@@ -74,8 +74,10 @@ def stage_checksum(data_root: str, manifest_path: str | None) -> dict:
     """sha256 every archive; verify against the manifest when given."""
     manifest = json.load(open(manifest_path)) if manifest_path else {}
     report, failures = {}, []
+    # keep in sync with stage_ingest's extraction filter (.tgz included)
     archives = sorted(
-        f for f in os.listdir(data_root) if f.endswith((".zip", ".tar", ".tar.gz", ".h5"))
+        f for f in os.listdir(data_root)
+        if f.endswith((".zip", ".tar", ".tar.gz", ".tgz", ".h5"))
     )
     for f in archives:
         digest = sha256_file(join(data_root, f))
@@ -253,6 +255,11 @@ def main(argv=None) -> int:
     config = json.load(open(args.config))
     classes = (args.classes.split(",") if args.classes
                else list(config["dataset"].get("classes", [])))
+    # Directory probes below need synset ids; accept category names here the
+    # same way every dataset family does (data/shapenet.py normalize_classes).
+    from hyperpocket_tpu.data.category_mapping import normalize_classes
+
+    classes = normalize_classes(classes)
     summary: dict = {"stages": {}}
 
     print("== stage 1/5: checksum ==", flush=True)
