@@ -679,8 +679,11 @@ class Trainer:
                 last = (last[0], last[1], np.asarray(last[2])[0])
             val_losses[cat] = np.array([total / max(n, 1)])
             val_samples[cat] = last
-        total = sum(v for v in val_losses.values())
-        val_losses["total"] = total / max(len(val_losses), 1)
+        # all categories may have been skipped as empty: keep "total" an
+        # array so downstream indexing (run(): total[0]) stays uniform
+        total = (sum(val_losses.values()) / len(val_losses)
+                 if val_losses else np.array([0.0]))
+        val_losses["total"] = total
         return val_losses, val_samples
 
     def _val_epoch_scan(self, epoch: int):
@@ -733,8 +736,11 @@ class Trainer:
             all_losses = np.asarray(jnp.concatenate(device_losses))
             val_losses[cat] = np.array([float(all_losses.sum()) / len(batches)])
             val_samples[cat] = (batches[-1][0][0], batches[-1][2][0], np.asarray(rec)[0])
-        total = sum(v for v in val_losses.values())
-        val_losses["total"] = total / max(len(val_losses), 1)
+        # all categories may have been skipped as empty: keep "total" an
+        # array so downstream indexing (run(): total[0]) stays uniform
+        total = (sum(val_losses.values()) / len(val_losses)
+                 if val_losses else np.array([0.0]))
+        val_losses["total"] = total
         return val_losses, val_samples
 
     # ------------------------------------------------------------------

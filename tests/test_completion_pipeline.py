@@ -80,7 +80,12 @@ def test_val_covers_both_categories(completion_setup):
     assert {"airplane", "chair", "total"} <= set(losses)
     assert np.isfinite(losses["airplane"]).all() and losses["airplane"][0] > 0
     assert samples["airplane"] is not None
-    assert samples["sofa"] is None  # empty category: no crash, no sample
+    # empty categories are skipped at loader construction (no constant-0.0
+    # rows diluting the printed total), so sofa must not appear at all
+    assert "sofa" not in losses and "sofa" not in samples
+    cats = [k for k in losses if k != "total"]
+    np.testing.assert_allclose(
+        losses["total"], sum(losses[c] for c in cats) / len(cats))
 
 
 def test_completion3d_submission(completion_setup, tmp_path):
