@@ -17,9 +17,13 @@ multi-category run exercises:
 
 Usage:
   PYTHONPATH=/root/.axon_site:/root/repo \
-    python util_scripts/dress_rehearsal_multicat.py [out_dir]
+    python util_scripts/dress_rehearsal_multicat.py [out_dir] [--empirical]
 (out_dir defaults to results/dress_rehearsal_multicat; expects
- <out_dir>/config.json and a finished training run under its results_root.)
+ <out_dir>/config.json and a finished training run under its results_root.
+ --empirical runs ONLY the per-category fixed+mmd A/B with the empirical
+ latent prior fitted on val missing halves — eval/latent_stats.py — into
+ <out_dir>/experiments_empirical, for comparison against the normal-prior
+ numbers in experiments_summary.json.)
 """
 
 from __future__ import annotations
@@ -35,9 +39,45 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from dress_rehearsal_r4 import _ConcatDataset, _scoped_config, _Subset  # noqa: E402
 
-OUT = sys.argv[1] if len(sys.argv) > 1 else "results/dress_rehearsal_multicat"
+_args = [a for a in sys.argv[1:] if a != "--empirical"]
+EMPIRICAL = "--empirical" in sys.argv[1:]
+OUT = _args[0] if _args else "results/dress_rehearsal_multicat"
 CONFIG = join(OUT, "config.json")
 GEN_OBJECTS = 25  # generativity val-slice cap per category (O(n^2) pairs)
+
+
+def main_empirical():
+    """Per-category fixed+mmd with the empirical latent prior (A/B vs the
+    normal-prior pass in experiments_summary.json; same weights, only the
+    latent draw differs — r4b measured a ~5x completion-CD win single-cat)."""
+    from hyperpocket_tpu.data import get_datasets
+    from hyperpocket_tpu.eval.experiments import run_experiments
+    from hyperpocket_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
+    config = json.load(open(CONFIG))
+    _, _, test_dict = get_datasets(config["dataset"])
+    exp_root = join(OUT, "experiments_empirical")
+    os.makedirs(exp_root, exist_ok=True)
+    t0 = time.monotonic()
+    summary = {"stage": "experiments_empirical", "mmd_tmd_uhd_by_cat": {}}
+    for cat, ds in sorted(test_dict.items()):
+        cfg = _scoped_config(config, ["fixed", "compute_mmd_tmd_uhd"])
+        cfg["experiments"]["latent_prior"] = {"max_items": 512}
+        cfg["experiments"]["settings"]["fixed"]["noise_source"] = "empirical"
+        out_dir = join(exp_root, cat)
+        os.makedirs(out_dir, exist_ok=True)
+        t1 = time.monotonic()
+        run_experiments(cfg, out_dir, datasets={cat: ds})
+        print(f"pass {cat}: {time.monotonic() - t1:.1f}s", flush=True)
+        d = join(out_dir, "compute_mmd_tmd_uhd")
+        for f in sorted(os.listdir(d)) if os.path.isdir(d) else []:
+            if f.endswith("res.json"):
+                summary["mmd_tmd_uhd_by_cat"][cat] = json.load(open(join(d, f)))
+    summary["wall_s"] = round(time.monotonic() - t0, 1)
+    with open(join(OUT, "experiments_empirical_summary.json"), "w") as fh:
+        json.dump(summary, fh, indent=1)
+    print(json.dumps(summary, indent=1))
 
 
 def main():
@@ -122,4 +162,4 @@ if __name__ == "__main__":
     from hyperpocket_tpu.utils.chip_lock import chip_lock
 
     with chip_lock():
-        main()
+        main_empirical() if EMPIRICAL else main()
