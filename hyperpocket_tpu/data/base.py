@@ -63,11 +63,13 @@ def get_datasets(config: dict):
             classes=config.get("classes", []),
             num_samples=config.get("num_samples", 4),
             cache=config.get("cache", False),
+            split_by_csv=config.get("split_by_csv", False),
         )
         val = ShapeNet3DEPNDataset.get_validation_datasets(
             config["path"], classes=config.get("classes", []),
             num_samples=config.get("num_samples", 4),
             cache=config.get("cache", False),
+            split_by_csv=config.get("split_by_csv", False),
         )
         test = ShapeNet3DEPNDataset.get_test_datasets(
             config["path"], classes=config.get("classes", [])

@@ -8,7 +8,15 @@ Matches reference ``datasets/shapenet_3depn.py``:
   ``random.Random(1234)`` stream, 3depn.py:100,107) rotated by the fixed
   axis-swap matrix (3depn.py:139-143) and resampled to 1024, with the
   complete cloud resampled to 2048 (3depn.py:106-123);
-* split membership from ``shapenet-official-split.csv`` (3depn.py:80-89).
+* split membership from ``shapenet-official-split.csv`` applies to the TEST
+  split only (3depn.py:80-89). REFERENCE QUIRK, preserved by default: the
+  train and val branches both list the whole ``slices/gt/<cat>/`` dir
+  (3depn.py:101-104) and the reference slicer pools the CSV's train AND val
+  models into that one tree (util_scripts/generate_partial_dataset.py:79) —
+  so the reference's 3D-EPN "val" dataset is item-for-item its train set,
+  and best_val selects on training data. ``dataset.split_by_csv: true``
+  (framework extension, off for parity) filters train/val by the official
+  CSV labels for a genuinely held-out val split (PARITY.md).
 """
 
 from __future__ import annotations
@@ -66,7 +74,7 @@ def _load_mesh_vertices(path: str) -> np.ndarray:
 
 class ShapeNet3DEPNDataset:
     def __init__(self, root_dir: str, split: str = "train", classes=None, num_samples: int = 4,
-                 cache: bool = False):
+                 cache: bool = False, split_by_csv: bool = False):
         self.root_dir = root_dir
         self.split = split
         # optional in-RAM file cache (dataset.cache) — same semantics as the
@@ -107,6 +115,18 @@ class ShapeNet3DEPNDataset:
         else:
             self.cat = classes[0]
             self.shape_names = sorted(os.listdir(join(root_dir, "slices", "gt", classes[0])))
+            if split_by_csv:
+                # framework extension (dataset.split_by_csv; module
+                # docstring): restrict to the official CSV's labels so val
+                # is genuinely held out — by default (reference parity) the
+                # slicer pools train+val models into slices/ and BOTH
+                # branches list the whole dir, making val == train
+                info = collect_split_by_id(
+                    join(root_dir, "shapenet-official-split.csv"), classes[0])
+                want = set(info["train" if split == "train" else "validation"])
+                self.shape_names = [
+                    n for n in self.shape_names if n.rsplit(".", 1)[0] in want
+                ]
             self.num_samples = num_samples
 
     def __len__(self) -> int:

@@ -102,9 +102,30 @@ def minimum_matching_distance(sample_pcs: np.ndarray, ref_pcs: np.ndarray, batch
     return float(np.mean(matched)), matched
 
 
-def _load_grouped_reconstructions(shape_dir: str, group: int = 10) -> np.ndarray:
-    """Sorted *_reconstruction.npy -> (n_objects, group, N, 3)."""
+def _load_grouped_reconstructions(shape_dir: str, group: int | None = None) -> np.ndarray:
+    """Sorted *_reconstruction.npy -> (n_objects, group, N, 3).
+
+    ``group`` defaults to the per-object completion count inferred from the
+    ``<cat>_<obj>_<j>_reconstruction.npy`` filenames (= ``fixed``'s
+    ``noises_per_item``). The reference hardcodes 10 in both consumers
+    (completeness.py:73-76, total_mutual_diff.py:33-36) even though its
+    ``fixed`` exposes ``noises_per_item`` — a non-default value there makes
+    UHD crash and TMD silently mix completions of different objects.
+    """
     paths = sorted(glob.glob(join(shape_dir, "*reconstruction.npy")))
+    if group is None:
+        js = {int(p.rsplit("_", 2)[-2]) for p in paths}
+        group = max(js) + 1
+        if js != set(range(group)):
+            raise ValueError(
+                f"fixed/ reconstruction indices are not dense 0..{group - 1}: "
+                f"{sorted(js)} — partial or mixed fixed/ outputs under {shape_dir}"
+            )
+    if len(paths) % group:
+        raise ValueError(
+            f"{len(paths)} reconstructions under {shape_dir} do not divide "
+            f"into groups of {group} — partial fixed/ outputs?"
+        )
     n_objects = len(paths) // group
     out = []
     for i in range(n_objects):
@@ -121,7 +142,7 @@ def mmd_process(shape_dir: str, dataset, batch_size: int = 64) -> float:
     return mmd
 
 
-def uhd_process(shape_dir: str, group: int = 10) -> float:
+def uhd_process(shape_dir: str, group: int | None = None) -> float:
     """Mean directed Hausdorff existing -> completions (completeness.py:63-89)."""
     gen = _load_grouped_reconstructions(shape_dir, group)  # (O, k, N, 3)
     existing_paths = sorted(glob.glob(join(shape_dir, "*existing.npy")))
@@ -142,7 +163,7 @@ def uhd_process(shape_dir: str, group: int = 10) -> float:
     return float(np.mean([float(v) for v in vals]))
 
 
-def tmd_process(shape_dir: str, group: int = 10) -> float:
+def tmd_process(shape_dir: str, group: int | None = None) -> float:
     """Total mutual difference among completions (total_mutual_diff.py:27-61)."""
     gen = _load_grouped_reconstructions(shape_dir, group)
     k = gen.shape[1]

@@ -316,6 +316,11 @@ def evaluate_generativity(ctx: ExperimentContext, datasets_dict, results_dir: st
     two-sample accuracy keys the reference computes but comments out of
     compute_all_metrics (utils/metrics.py:224-237) — summed per object like
     every other key, with the reference's "1-NN-{CD,EMD}-{acc*}" naming.
+
+    ``num_workers`` is accepted for config-schema parity (the reference
+    feeds it to a DataLoader, core/experiments.py:69) but unused: the
+    batched pipeline has no loader and sizes its own dispatches via
+    ``dispatch_clouds``/``object_group_clouds``.
     """
     from hyperpocket_tpu.eval.metrics import (
         entropy_of_occupancy_grid,
@@ -334,7 +339,10 @@ def evaluate_generativity(ctx: ExperimentContext, datasets_dict, results_dir: st
                 f"evaluate_generativity got an empty dataset for category "
                 f"{cat_name!r} (split matched no on-disk models?)"
             )
-        if np.ndim(ds[0][1]) != 2:
+        # materialize each item ONCE (an uncached __getitem__ loads 3 PLY
+        # files; reading [1] and [0] in separate passes doubled the IO)
+        items = [ds[i] for i in range(len(ds))]
+        if np.ndim(items[0][1]) != 2:
             # 3D-EPN/Completion3D TEST items carry a scalar missing-part
             # placeholder (reference datasets/shapenet_3depn.py:134); the
             # reference only ever enables this experiment on datasets whose
@@ -348,9 +356,10 @@ def evaluate_generativity(ctx: ExperimentContext, datasets_dict, results_dir: st
                 "every split, so disable this experiment there, as the "
                 "reference configs do"
             )
-        cat_gt = np.stack([np.asarray(ds[i][1], dtype=np.float32) for i in range(len(ds))])
+        cat_gt = np.stack([np.asarray(it[1], dtype=np.float32) for it in items])
         n_gen = len(cat_gt)
-        existing_objs = [np.asarray(ds[i][0], dtype=np.float32) for i in range(len(ds))]
+        existing_objs = [np.asarray(it[0], dtype=np.float32) for it in items]
+        del items
         ref_grid = entropy_of_occupancy_grid(cat_gt, 28, True)[1]
         cat_results: dict[str, float] = {}
         group = max(1, object_group_clouds // max(n_gen, 1))
@@ -475,14 +484,20 @@ def merge_different_categories(ctx: ExperimentContext, datasets_dict, results_di
         for j in range(amount):
             t_f_missing = halves(np.asarray(first_ds[first_ids[j]][2], dtype=np.float32))[1]
             t_s_missing = halves(np.asarray(second_ds[second_ids[j]][2], dtype=np.float32))[1]
+            # each completion is generated at ITS existing object's gt size
+            # (the reference's fixed 2048 decode makes this invisible there;
+            # matters only for mixed-resolution corpora). Artifacts are kept
+            # in the reference merge layout — (N, 3), unlike fixed's (3, N):
+            # the reference itself differs per experiment
+            # (experiments.py:154-191 raw vs :45 transposed).
             pairs = (
-                (f"{first_cat}_{i}~{first_cat}_{j}_rec", f_existing, t_f_missing),
-                (f"{first_cat}_{i}~{second_cat}_{j}_rec", f_existing, t_s_missing),
-                (f"{second_cat}_{i}~{first_cat}_{j}_rec", s_existing, t_f_missing),
-                (f"{second_cat}_{i}~{second_cat}_{j}_rec", s_existing, t_s_missing),
+                (f"{first_cat}_{i}~{first_cat}_{j}_rec", f_existing, t_f_missing, f_gt),
+                (f"{first_cat}_{i}~{second_cat}_{j}_rec", f_existing, t_s_missing, f_gt),
+                (f"{second_cat}_{i}~{first_cat}_{j}_rec", s_existing, t_f_missing, s_gt),
+                (f"{second_cat}_{i}~{second_cat}_{j}_rec", s_existing, t_s_missing, s_gt),
             )
-            for name, ex, mi in pairs:
-                rec = ctx.complete_from_missing(ex[None], mi[None], num_points=f_gt.shape[0])
+            for name, ex, mi, gt in pairs:
+                rec = ctx.complete_from_missing(ex[None], mi[None], num_points=gt.shape[0])
                 np.save(join(out_dir, name), rec[0])
 
 
@@ -623,19 +638,12 @@ def run_experiments(config: dict, result_dir: str, datasets=None) -> None:
         # framework extension (documented in eval/latent_stats.py): fit the
         # empirical latent Gaussian on VAL missing halves so experiments may
         # request noise_source="empirical"
+        from hyperpocket_tpu.eval.latent_stats import collect_val_missing_halves
+
         _, val_dict, _ = get_datasets(config["dataset"])
-        max_items = int(prior_cfg.get("max_items", 1024))
-        halves = []
-        for ds in val_dict.values():
-            take = min(len(ds), max(1, max_items // max(len(val_dict), 1)))
-            halves.extend(np.asarray(ds[i][1], dtype=np.float32) for i in range(take))
-        halves = [h for h in halves if h.ndim == 2]
-        if not halves:
-            raise ValueError(
-                "experiments.latent_prior: no val items with real missing "
-                "halves to fit on (Completion3D has placeholders everywhere)"
-            )
-        ctx.fit_latent_prior(np.stack(halves), int(prior_cfg.get("batch_size", 64)))
+        halves = collect_val_missing_halves(
+            val_dict, int(prior_cfg.get("max_items", 1024)))
+        ctx.fit_latent_prior(halves, int(prior_cfg.get("batch_size", 64)))
         log.info("fitted empirical latent prior on %d missing halves", len(halves))
 
     for name, ex_cfg in config["experiments"]["settings"].items():

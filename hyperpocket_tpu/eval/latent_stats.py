@@ -91,6 +91,28 @@ def encode_missing_mus(model, params, clouds: np.ndarray,
     return np.concatenate(out, axis=0)
 
 
+def collect_val_missing_halves(val_dict, max_items: int = 1024) -> np.ndarray:
+    """Stack up to ``max_items`` REAL missing halves from the val datasets,
+    split evenly across categories (3D-EPN/Completion3D test items carry a
+    scalar placeholder at index 1; those are filtered out).
+
+    Shared by ``run_experiments``'s ``experiments.latent_prior`` handling and
+    ``serving fit-prior`` so the two fitting paths cannot drift. Raises
+    ``ValueError`` when no item qualifies (Completion3D has the placeholder
+    on every split)."""
+    halves = []
+    for ds in val_dict.values():
+        take = min(len(ds), max(1, max_items // max(len(val_dict), 1)))
+        halves.extend(np.asarray(ds[i][1], dtype=np.float32) for i in range(take))
+    halves = [h for h in halves if h.ndim == 2]
+    if not halves:
+        raise ValueError(
+            "latent prior: no val items with real missing halves to fit on "
+            "(Completion3D has placeholders everywhere)"
+        )
+    return np.stack(halves)
+
+
 def fit_latent_gaussian(model, params, missing_clouds: np.ndarray,
                         batch_size: int = 64,
                         shrinkage: float = 0.05) -> LatentGaussian:

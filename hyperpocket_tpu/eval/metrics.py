@@ -68,22 +68,37 @@ def pairwise_emd_cd(sample_pcs, ref_pcs, batch_size: int,
     sample_pcs = jnp.asarray(sample_pcs)
     ref_pcs = jnp.asarray(ref_pcs)
     n_sample, n_ref = sample_pcs.shape[0], ref_pcs.shape[0]
+    row_block = min(row_block, n_sample)
+    batch_size = min(batch_size, n_ref)
+
+    def _pad_to(x, n):
+        # pad ragged tails by repeating the last cloud so EVERY dispatch is
+        # the one compiled (row_block, batch_size) shape — fresh-shape Mosaic
+        # compiles over the tunnel are erratic (up to ~10 min, CLAUDE.md);
+        # the padded pairs' values are sliced away below
+        if x.shape[0] == n:
+            return x
+        return jnp.concatenate(
+            [x, jnp.broadcast_to(x[-1:], (n - x.shape[0],) + x.shape[1:])])
+
     rows_cd, rows_emd = [], []
     for i0 in range(0, n_sample, row_block):
-        samp = sample_pcs[i0 : i0 + row_block]  # (r, P, 3)
-        r = samp.shape[0]
+        samp = _pad_to(sample_pcs[i0 : i0 + row_block], row_block)  # (R, P, 3)
+        r = min(row_block, n_sample - i0)
         row_cd, row_emd = [], []
         for start in range(0, n_ref, batch_size):
-            ref_chunk = ref_pcs[start : start + batch_size]  # (c, Q, 3)
-            c = ref_chunk.shape[0]
+            ref_chunk = _pad_to(ref_pcs[start : start + batch_size], batch_size)
+            c = min(batch_size, n_ref - start)
             samp_exp = jnp.broadcast_to(
-                samp[:, None], (r, c) + samp.shape[1:]
-            ).reshape((r * c,) + samp.shape[1:])
+                samp[:, None], (row_block, batch_size) + samp.shape[1:]
+            ).reshape((row_block * batch_size,) + samp.shape[1:])
             ref_exp = jnp.broadcast_to(
-                ref_chunk[None], (r, c) + ref_chunk.shape[1:]
-            ).reshape((r * c,) + ref_chunk.shape[1:])
-            row_cd.append(chamfer_per_cloud(samp_exp, ref_exp).reshape(r, c))
-            row_emd.append(earth_mover_distance(samp_exp, ref_exp).reshape(r, c))
+                ref_chunk[None], (row_block, batch_size) + ref_chunk.shape[1:]
+            ).reshape((row_block * batch_size,) + ref_chunk.shape[1:])
+            cd = chamfer_per_cloud(samp_exp, ref_exp).reshape(row_block, batch_size)
+            emd = earth_mover_distance(samp_exp, ref_exp).reshape(row_block, batch_size)
+            row_cd.append(cd[:r, :c])
+            row_emd.append(emd[:r, :c])
         rows_cd.append(jnp.concatenate(row_cd, axis=1))
         rows_emd.append(jnp.concatenate(row_emd, axis=1))
     return jnp.concatenate(rows_cd, axis=0), jnp.concatenate(rows_emd, axis=0)

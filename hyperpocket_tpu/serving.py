@@ -171,7 +171,9 @@ def infer_main(argv=None) -> int:
         artifact = fh.read()
     with open(args.artifact + ".json") as fh:
         meta = json.load(fh)
-    if meta.get("data_parallel"):
+    # data_parallel == 1 exports unsharded (export_completion only builds a
+    # mesh for > 1), so such artifacts are perfectly servable here
+    if (meta.get("data_parallel") or 0) > 1:
         raise SystemExit("infer drives single-host artifacts; re-export "
                          "without --data-parallel for CLI serving")
     batch, n_exist, zdim = meta["batch"], meta["n_existing"], meta["noise_size"]
@@ -193,6 +195,17 @@ def infer_main(argv=None) -> int:
     os.makedirs(args.out_dir, exist_ok=True)
     jobs = [(i, k) for i in range(len(clouds)) for k in range(args.samples)]
     written = []
+    lg = None
+    if args.latent_prior:
+        # load + validate ONCE, before any completion is computed (a dim
+        # mismatch must fail before chip work, not mid-stream per chunk)
+        from hyperpocket_tpu.eval.latent_stats import load_latent_gaussian
+
+        lg = load_latent_gaussian(args.latent_prior)
+        if lg.dim != zdim:
+            raise SystemExit(
+                f"latent prior dim {lg.dim} != artifact noise_size {zdim}"
+            )
     with chip_lock():
         f = load_completion(artifact)
         for start in range(0, len(jobs), batch):
@@ -200,14 +213,7 @@ def infer_main(argv=None) -> int:
             ex = np.stack([clouds[i] for i, _ in chunk])
             if len(chunk) < batch:  # pad the tail to the artifact's fixed batch
                 ex = np.concatenate([ex, np.repeat(ex[-1:], batch - len(chunk), 0)])
-            if args.latent_prior:
-                from hyperpocket_tpu.eval.latent_stats import load_latent_gaussian
-
-                lg = load_latent_gaussian(args.latent_prior)
-                if lg.dim != zdim:
-                    raise SystemExit(
-                        f"latent prior dim {lg.dim} != artifact noise_size {zdim}"
-                    )
+            if lg is not None:
                 eps = rng.standard_normal((batch, zdim)).astype(np.float32)
                 noise = lg.mean + eps @ lg.scale_tril.T
             elif args.noise_std > 0:
@@ -247,7 +253,11 @@ def fit_prior_main(argv=None) -> int:
     import numpy as np
 
     from hyperpocket_tpu.data import get_datasets
-    from hyperpocket_tpu.eval.latent_stats import fit_latent_gaussian, save_latent_gaussian
+    from hyperpocket_tpu.eval.latent_stats import (
+        collect_val_missing_halves,
+        fit_latent_gaussian,
+        save_latent_gaussian,
+    )
     from hyperpocket_tpu.train.checkpoint import restore_trained_model
     from hyperpocket_tpu.utils.chip_lock import chip_lock
 
@@ -255,14 +265,11 @@ def fit_prior_main(argv=None) -> int:
     with chip_lock():
         model, params, epoch = restore_trained_model(config)
         _, val_dict, _ = get_datasets(config["dataset"])
-        halves = []
-        for ds in val_dict.values():
-            take = min(len(ds), max(1, args.max_items // max(len(val_dict), 1)))
-            halves.extend(np.asarray(ds[i][1], dtype=np.float32) for i in range(take))
-        halves = [h for h in halves if h.ndim == 2]
-        if not halves:
-            raise SystemExit("no val items with real missing halves to fit on")
-        lg = fit_latent_gaussian(model, params, np.stack(halves), args.batch_size)
+        try:
+            halves = collect_val_missing_halves(val_dict, args.max_items)
+        except ValueError as e:
+            raise SystemExit(str(e))
+        lg = fit_latent_gaussian(model, params, halves, args.batch_size)
     save_latent_gaussian(lg, args.out)
     print(json.dumps({"out": args.out, "epoch": epoch, "fitted_on": len(halves),
                       "dim": lg.dim}))

@@ -197,6 +197,35 @@ def test_real_data_missing_assets_raise(tmp_path):
         ds.get_obj_box(0)
 
 
+def test_3depn_split_by_csv(tmp_path):
+    """Reference quirk + framework fix: by default train == val (the slicer
+    pools CSV train+val models into one slices/ tree and both branches list
+    the whole dir — reference shapenet_3depn.py:101-104); split_by_csv=True
+    filters by the official labels so val is genuinely held out."""
+    make_3depn_tree(tmp_path, n_models=4)
+    rows = [["id", "synsetId", "subSynsetId", "modelId", "split"],
+            ["000000", CAT, CAT, "m00", "test"],
+            ["000001", CAT, CAT, "m01", "train"],
+            ["000002", CAT, CAT, "m02", "train"],
+            ["000003", CAT, CAT, "m03", "val"]]
+    with open(join(tmp_path, "shapenet-official-split.csv"), "w", newline="") as fh:
+        csv.writer(fh).writerows(rows)
+
+    # default = reference parity: both splits see every sliced model
+    tr = ShapeNet3DEPNDataset(str(tmp_path), split="train", classes=[CAT], num_samples=2)
+    va = ShapeNet3DEPNDataset(str(tmp_path), split="val", classes=[CAT], num_samples=2)
+    assert tr.shape_names == va.shape_names and len(tr) == len(va) == 8
+
+    tr2 = ShapeNet3DEPNDataset(str(tmp_path), split="train", classes=[CAT],
+                               num_samples=2, split_by_csv=True)
+    va2 = ShapeNet3DEPNDataset(str(tmp_path), split="val", classes=[CAT],
+                               num_samples=2, split_by_csv=True)
+    assert tr2.shape_names == ["m01.ply", "m02.ply"]
+    assert va2.shape_names == ["m03.ply"]
+    assert len(tr2) == 4 and len(va2) == 2
+    assert not set(tr2.shape_names) & set(va2.shape_names)
+
+
 def test_3depn_cache(tmp_path):
     make_3depn_tree(tmp_path)
     ds = ShapeNet3DEPNDataset(str(tmp_path), split="train", classes=[CAT],
