@@ -419,6 +419,20 @@ class Trainer:
             self.log.info("mesh: data=%d model=%d", n_data, n_model)
 
         prng_impl = str(tr.get("prng_impl", "threefry2x32"))
+        self._prng_impl = prng_impl
+        self._fm_cfg = fm_cfg
+        # training.compute_dtype_switch = {"epoch": N, "compute_dtype": "float32"}:
+        # epochs <= N run training.compute_dtype, epochs > N run the switch
+        # dtype (model + jitted step fns are rebuilt at the crossing; fp32
+        # master params / optimizer state carry over untouched). Motivated by
+        # the multicat 200-epoch A/B (results/REHEARSALS.md): bf16 tracks fp32
+        # exactly through the progressive-normalization phase, then plateaus
+        # 2.3x above it in the fine-detail phase — bf16 early + fp32 late
+        # keeps the throughput win where precision doesn't matter yet.
+        sw = tr.get("compute_dtype_switch")
+        self._dtype_switch = (
+            (int(sw["epoch"]), str(sw.get("compute_dtype", "float32"))) if sw else None
+        )
         self.train_step = make_train_step(self.model, self.tx, self.loss_coef, prng_impl)
         self.val_step = make_val_step(self.model, self.loss_coef, prng_impl)
         self.uses_missing = self.model.mode != "hyper_rec"
@@ -517,6 +531,31 @@ class Trainer:
                 self._seed_counter = int(sched_state["seed_counter"])
         self.start_epoch = epoch + 1
         self.log.info("restored epoch %d", epoch)
+
+    def _maybe_switch_dtype(self, epoch: int):
+        """Cross the ``compute_dtype_switch`` boundary once: rebuild the model
+        and every jitted step/epoch fn under the new compute dtype. Master
+        params and optimizer state are fp32 (``param_dtype``) regardless of
+        compute dtype, so they carry over without conversion; resumed runs
+        cross the boundary identically because ``run`` re-checks per epoch."""
+        if self._dtype_switch is None:
+            return
+        sw_epoch, sw_dtype = self._dtype_switch
+        if epoch <= sw_epoch or str(self.model.compute_dtype) == sw_dtype:
+            return
+        fm_cfg = dict(self._fm_cfg)
+        fm_cfg["compute_dtype"] = sw_dtype
+        self.model = FullModel.from_config(fm_cfg)
+        self.train_step = make_train_step(self.model, self.tx, self.loss_coef, self._prng_impl)
+        self.val_step = make_val_step(self.model, self.loss_coef, self._prng_impl)
+        if self.epoch_mode == "scan":
+            self._epoch_scan_fn = make_train_epoch_scan(
+                self.model, self.tx, self.loss_coef, self._prng_impl
+            )
+            self._val_epoch_scan_fn = make_val_epoch_scan(
+                self.model, self.loss_coef, self._prng_impl
+            )
+        self.log.info("compute_dtype switched to %s at epoch %d", sw_dtype, epoch)
 
     def _device_batch(self, *arrays):
         arrays = tuple(jnp.asarray(a) for a in arrays)
@@ -752,6 +791,7 @@ class Trainer:
             jax.profiler.start_trace(self.profile_cfg.get("dir", join(self.result_dir, "trace")))
             profiling = True
         for epoch in range(self.start_epoch, self.max_epoch + 1):
+            self._maybe_switch_dtype(epoch)
             t0 = time.monotonic()
             stats, latest = self.train_epoch(epoch)
             if profiling and epoch >= self.start_epoch + self.profile_cfg.get("epochs", 1) - 1:

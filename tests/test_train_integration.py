@@ -125,6 +125,53 @@ def test_resume_reproduces_uninterrupted_trajectory(tmp_path):
     np.testing.assert_array_equal(np.array(res_val), np.array(full_val))
 
 
+def test_compute_dtype_switch_schedule(tmp_path):
+    """training.compute_dtype_switch: a bf16-early/fp32-late schedule in ONE
+    run. Epochs <= switch.epoch must be bit-identical to a pure-bf16 run;
+    the full trajectory must be bit-identical to manually resuming the bf16
+    checkpoint under fp32 compute (the chip experiment in
+    results/REHEARSALS.md, automated). Master params are fp32 either way, so
+    the crossing rebuilds only the model/step fns, never converts state."""
+    import shutil
+
+    from hyperpocket_tpu.train.trainer import Trainer
+
+    root = tmp_path / "data"
+    make_synthetic_shapenet(root, n_models=6, n_gt=64, n_part=32)
+
+    def cfg(results, max_epoch, dtype, switch=None):
+        c = make_config(root, results, max_epoch=max_epoch)
+        c["training"]["compute_dtype"] = dtype
+        if switch is not None:
+            c["training"]["compute_dtype_switch"] = switch
+        return c
+
+    # pure bf16 for the pre-switch segment (leaves its epoch-2 checkpoint)
+    a_train, a_val = Trainer(
+        cfg(tmp_path / "res_pre", 2, "bfloat16"), use_mesh=False
+    ).run(plot_samples=False)
+
+    # manual schedule: resume that checkpoint in fp32 for epochs 3-4
+    shutil.copytree(tmp_path / "res_pre", tmp_path / "res_manual")
+    t_b = Trainer(cfg(tmp_path / "res_manual", 4, "float32"), use_mesh=False)
+    assert t_b.start_epoch == 3
+    b_train, b_val = t_b.run(plot_samples=False)
+
+    # the switch config: one uninterrupted run crossing the boundary
+    t_s = Trainer(
+        cfg(tmp_path / "res_switch", 4, "bfloat16",
+            switch={"epoch": 2, "compute_dtype": "float32"}),
+        use_mesh=False,
+    )
+    s_train, s_val = t_s.run(plot_samples=False)
+    assert t_s.model.compute_dtype == "float32"  # boundary crossed
+
+    np.testing.assert_array_equal(np.array(s_train[:2]), np.array(a_train))
+    np.testing.assert_array_equal(np.array(s_val[:2]), np.array(a_val))
+    np.testing.assert_array_equal(np.array(s_train), np.array(b_train))
+    np.testing.assert_array_equal(np.array(s_val), np.array(b_val))
+
+
 def test_val_epoch_per_category(trained):
     _, trainer, _, _ = trained
     losses, samples = trainer.val_epoch(2)
