@@ -68,9 +68,15 @@ def flops_per_cloud(model, *, n_existing: int, n_out: int, training: bool) -> fl
     return 2.0 * macs
 
 
-def _timed_windows(dispatch, checksum_of, iters: int, windows: int = 3) -> float:
-    """Best wall-clock over windows; each window force-fetches a checksum."""
-    best_dt = float("inf")
+def _timed_windows_stats(dispatch, checksum_of, iters: int, windows: int = 3):
+    """Per-window wall-clocks; each window force-fetches a checksum.
+
+    Returns ``(best, median, spread_pct)`` where spread is
+    ``(max - min) / median`` over the windows — the in-process dispersion
+    that separates a genuine regression from axon-tunnel noise (CLAUDE.md:
+    cross-process timings swing 2-4x; in-process windows are ~2% stable).
+    """
+    times = []
     for _ in range(windows):
         t0 = time.perf_counter()
         out = None
@@ -80,8 +86,14 @@ def _timed_windows(dispatch, checksum_of, iters: int, windows: int = 3) -> float
         # Device execution is in-order, so this bounds every dispatch above.
         val = np.asarray(jax.device_get(checksum_of(out)))
         assert np.all(np.isfinite(val)), f"non-finite benchmark output: {val}"
-        best_dt = min(best_dt, time.perf_counter() - t0)
-    return best_dt
+        times.append(time.perf_counter() - t0)
+    med = float(np.median(times))
+    return min(times), med, (max(times) - min(times)) / med
+
+
+def _timed_windows(dispatch, checksum_of, iters: int, windows: int = 3) -> float:
+    """Best wall-clock over windows (see _timed_windows_stats)."""
+    return _timed_windows_stats(dispatch, checksum_of, iters, windows)[0]
 
 
 def run_bench(batch: int = 256, iters: int = 60, warmup: int = 5) -> dict:
@@ -118,7 +130,7 @@ def run_bench(batch: int = 256, iters: int = 60, warmup: int = 5) -> dict:
         out = complete(params, existing, noise, jax.random.key(i), epoch)
     np.asarray(jax.device_get(jnp.sum(out)))
 
-    infer_dt = _timed_windows(
+    infer_dt, infer_med, infer_spread = _timed_windows_stats(
         lambda i: complete(params, existing, noise, jax.random.key(100 + i), epoch),
         lambda out: jnp.sum(out),
         iters,
@@ -145,7 +157,7 @@ def run_bench(batch: int = 256, iters: int = 60, warmup: int = 5) -> dict:
     for i in range(warmup):
         out = complete_bf16(serving_p, existing, noise, jax.random.key(i, impl="rbg"), epoch)
     np.asarray(jax.device_get(jnp.sum(out)))
-    bf16_dt = _timed_windows(
+    bf16_dt, bf16_med, bf16_spread = _timed_windows_stats(
         lambda i: complete_bf16(serving_p, existing, noise, jax.random.key(100 + i, impl="rbg"), epoch),
         lambda out: jnp.sum(out),
         iters,
@@ -165,7 +177,7 @@ def run_bench(batch: int = 256, iters: int = 60, warmup: int = 5) -> dict:
 
     train_iters = max(iters // 2, 20)
 
-    def measure_train(step_fn, opt_state=opt_state):
+    def measure_train_stats(step_fn, opt_state=opt_state):
         # steps donate (params, opt_state); thread fresh copies so the
         # inference benchmark's `params` buffers are never donated away.
         st = {
@@ -186,9 +198,13 @@ def run_bench(batch: int = 256, iters: int = 60, warmup: int = 5) -> dict:
         for i in range(warmup):
             loss = dispatch(i)
         np.asarray(jax.device_get(loss))
-        return _timed_windows(dispatch, lambda loss: loss, train_iters) / train_iters
+        best, med, spread = _timed_windows_stats(dispatch, lambda loss: loss, train_iters)
+        return best / train_iters, med / train_iters, spread
 
-    train_dt = measure_train(step)
+    def measure_train(step_fn, opt_state=opt_state):
+        return measure_train_stats(step_fn, opt_state)[0]
+
+    train_dt, train_med, train_spread = measure_train_stats(step)
     train_clouds_per_sec = train_batch / train_dt
     # fwd + bwd ~= 3x forward matmul FLOPs; Chamfer counted once each way.
     train_gflop = 3.0 * flops_per_cloud(model, n_existing=1024, n_out=2048, training=True) / 1e9
@@ -204,6 +220,19 @@ def run_bench(batch: int = 256, iters: int = 60, warmup: int = 5) -> dict:
                             moment_dtype="bfloat16")
     step_bf16_m16 = make_train_step(model_bf16, tx_m16, loss_coef=0.05, prng_impl="rbg")
     train_bf16_m16_dt = measure_train(step_bf16_m16, tx_m16.init(params))
+
+    # ---- recommended training configuration --------------------------------
+    # The convergence-validated fast recipe (results/REHEARSALS.md, round-5
+    # precision ranking): fp32 compute for the quality-bearing phase with
+    # matmul_precision="high" (3-pass MXU), bf16 Adam moments, hardware rbg
+    # keys. bf16 end-to-end training is EARLY-PHASE ONLY — the 200-epoch
+    # multicat A/B measured best val 460.24 vs fp32's 197.27 (2.3x worse), so
+    # the train_bf16_* fields above describe the pre-divergence phase of a
+    # compute_dtype_switch schedule, not a standalone training mode.
+    step_rec = make_train_step(model, tx_m16, loss_coef=0.05, prng_impl="rbg")
+    with jax.default_matmul_precision("high"):  # traced on first (warmup) call
+        train_rec_dt, train_rec_med, train_rec_spread = measure_train_stats(
+            step_rec, tx_m16.init(params))
 
     # ---- loss-path kernels (B=64, N=M=2048: the metric pipelines' shapes) --
     from hyperpocket_tpu.ops.emd import match_cost
@@ -233,17 +262,32 @@ def run_bench(batch: int = 256, iters: int = 60, warmup: int = 5) -> dict:
         "gflop_per_cloud": round(infer_gflop, 3),
         "achieved_tflops": round(bf16_tflops, 2),
         "mfu_vs_bf16_peak": round(bf16_tflops * 1e12 / (V5E_BF16_PEAK_FLOPS * n_devices), 4),
+        # in-process window dispersion (see _timed_windows_stats): a value
+        # drift across rounds smaller than the spread is tunnel noise
+        "value_median": round(batch * iters / bf16_med, 1),
+        "value_spread_pct": round(100 * bf16_spread, 1),
         "fp32_clouds_per_sec": round(clouds_per_sec, 1),
         "fp32_achieved_tflops": round(infer_tflops, 2),
         "fp32_mfu_vs_bf16_peak": round(infer_tflops * 1e12 / (V5E_BF16_PEAK_FLOPS * n_devices), 4),
+        "fp32_spread_pct": round(100 * infer_spread, 1),
         "train_step_ms": round(1e3 * train_dt, 3),
+        "train_step_ms_median": round(1e3 * train_med, 3),
+        "train_spread_pct": round(100 * train_spread, 1),
         "train_clouds_per_sec": round(train_clouds_per_sec, 1),
         "train_gflop_per_cloud": round(train_gflop, 3),
         "train_achieved_tflops": round(train_tflops, 2),
         "train_mfu_vs_bf16_peak": round(train_tflops * 1e12 / (V5E_BF16_PEAK_FLOPS * n_devices), 4),
+        # recommended = convergence-validated fast recipe (fp32 compute,
+        # matmul_precision high, bf16 Adam moments, rbg keys — REHEARSALS.md)
+        "train_recommended_step_ms": round(1e3 * train_rec_dt, 3),
+        "train_recommended_step_ms_median": round(1e3 * train_rec_med, 3),
+        "train_recommended_spread_pct": round(100 * train_rec_spread, 1),
+        "train_recommended_clouds_per_sec": round(train_batch / train_rec_dt, 1),
+        "train_recommended": "fp32 compute, matmul_precision=high, bf16 Adam moments, rbg keys",
         "train_bf16_step_ms": round(1e3 * train_bf16_dt, 3),
         "train_bf16_clouds_per_sec": round(train_batch / train_bf16_dt, 1),
         "train_bf16_mom16_step_ms": round(1e3 * train_bf16_m16_dt, 3),
+        "train_bf16_note": "early-phase only: standalone bf16 training converges 2.3x worse at 200 epochs (REHEARSALS.md bf16 A/B); use compute_dtype_switch",
         "emd_ms_per_sample": round(1e3 * emd_dt / (emd_iters * kb), 4),
         "chamfer_value_and_grad_ms_b64": round(1e3 * cvg_dt / cvg_iters, 3),
     }

@@ -22,6 +22,7 @@ Matches reference ``datasets/shapenet_3depn.py``:
 from __future__ import annotations
 
 import csv
+import logging
 import os
 import random
 from os.path import exists, join
@@ -57,13 +58,27 @@ def sample_point_cloud_by_n(points: np.ndarray, n_pts: int, rng: random.Random |
 def collect_split_by_id(csv_path: str, cat_id: str) -> dict[str, list[str]]:
     """Parse the official split CSV -> {train/validation/test: [model ids]}."""
     info: dict[str, list[str]] = {"train": [], "validation": [], "test": []}
+    unknown: dict[str, int] = {}
     with open(csv_path) as fh:
         for i, row in enumerate(csv.reader(fh)):
             if i == 0 or row[1] != cat_id:
                 continue
             split = row[-1]
-            key = "validation" if split == "val" else split if split in info else "test"
+            if split == "val":
+                key = "validation"
+            elif split in info:
+                key = split
+            else:
+                # a malformed label would otherwise vanish from train AND val
+                # (bucketed into test) with no trace — make it visible
+                key = "test"
+                unknown[split] = unknown.get(split, 0) + 1
             info[key].append(row[-2])
+    if unknown:
+        logging.getLogger().warning(
+            "split CSV %s: %d rows with unrecognized split labels %s for "
+            "category %s — bucketed into 'test' (absent from train/val)",
+            csv_path, sum(unknown.values()), sorted(unknown), cat_id)
     return info
 
 

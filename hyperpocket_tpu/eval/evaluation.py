@@ -113,6 +113,11 @@ def _load_grouped_reconstructions(shape_dir: str, group: int | None = None) -> n
     UHD crash and TMD silently mix completions of different objects.
     """
     paths = sorted(glob.glob(join(shape_dir, "*reconstruction.npy")))
+    if not paths:
+        raise FileNotFoundError(
+            f"no *reconstruction.npy under {shape_dir} — run the 'fixed' "
+            f"experiment first (it writes the completions UHD/TMD consume)"
+        )
     if group is None:
         js = {int(p.rsplit("_", 2)[-2]) for p in paths}
         group = max(js) + 1

@@ -90,6 +90,22 @@ def test_collect_split_by_id(tmp_path):
     assert info["train"] == ["m01", "m02"]
 
 
+def test_collect_split_by_id_warns_on_unknown_label(tmp_path, caplog):
+    """Malformed split labels are visible, not silently dropped (ADVICE r4)."""
+    import logging
+
+    csv_path = join(tmp_path, "split.csv")
+    with open(csv_path, "w") as fh:
+        fh.write("id,synsetId,subSynsetId,modelId,split\n")
+        fh.write(f"1,{CAT},x,m00,train\n")
+        fh.write(f"2,{CAT},x,m01,tran\n")  # typo'd label
+    with caplog.at_level(logging.WARNING):
+        info = collect_split_by_id(csv_path, CAT)
+    assert info["train"] == ["m00"]
+    assert info["test"] == ["m01"]  # bucketed, but ...
+    assert any("tran" in r.message for r in caplog.records)  # ... loudly
+
+
 def test_sample_point_cloud_by_n():
     pts = np.arange(30).reshape(10, 3)
     up = sample_point_cloud_by_n(pts, 16)

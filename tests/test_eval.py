@@ -104,6 +104,16 @@ def test_jsd_validates():
         jensen_shannon_divergence(np.array([1.0]), np.array([0.5, 0.5]))
 
 
+def test_uhd_tmd_empty_fixed_dir_is_actionable(tmp_path):
+    """An empty fixed/ raises a named error, not max()-of-empty (ADVICE r4)."""
+    from hyperpocket_tpu.eval.evaluation import tmd_process, uhd_process
+
+    with pytest.raises(FileNotFoundError, match="reconstruction"):
+        uhd_process(str(tmp_path))
+    with pytest.raises(FileNotFoundError, match=str(tmp_path)):
+        tmd_process(str(tmp_path))
+
+
 def test_evaluation_uhd_tmd_mmd(tmp_path):
     """Synthetic fixed/ dir: identical completions -> TMD 0; subset existing -> UHD 0."""
     from hyperpocket_tpu.eval.evaluation import mmd_process, tmd_process, uhd_process

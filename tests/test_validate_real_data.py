@@ -84,6 +84,35 @@ def test_checksum_stage_catches_corruption(tmp_path):
         stage_checksum(str(tmp_path), str(man))
 
 
+def test_ingest_rejects_path_traversal_archives(tmp_path):
+    """Untrusted archives with ../ members must not extract (ADVICE r4)."""
+    import tarfile
+
+    from util_scripts.validate_real_data import _check_members, stage_ingest
+
+    data = tmp_path / "data"
+    data.mkdir()
+    with zipfile.ZipFile(data / "evil.zip", "w") as zf:
+        zf.writestr("../evil.txt", "escape")
+    with pytest.raises(SystemExit, match="traversal"):
+        stage_ingest(str(data), str(tmp_path / "work"), "3depn", [CHAIR], 1)
+    assert not (tmp_path / "evil.txt").exists()
+
+    # tar path: Python>=3.12 filter="data" raises; the fallback uses
+    # _check_members, exercised directly here
+    evil_tar = data / "evil.tar"
+    with tarfile.open(evil_tar, "w") as tf:
+        info = tarfile.TarInfo("../evil2.txt")
+        info.size = 0
+        tf.addfile(info)
+    os.remove(data / "evil.zip")
+    with pytest.raises((SystemExit, tarfile.TarError, OSError)):
+        stage_ingest(str(data), str(tmp_path / "work2"), "3depn", [CHAIR], 1)
+    assert not (tmp_path / "evil2.txt").exists()
+    with pytest.raises(SystemExit, match="traversal"):
+        _check_members(str(tmp_path / "work3"), ["../evil2.txt"], "evil.tar")
+
+
 def test_validate_real_data_end_to_end(tmp_path):
     # 1. the synthetic 3D-EPN tree, zipped into two archives like the downloads
     tree = tmp_path / "tree"

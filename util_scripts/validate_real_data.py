@@ -93,6 +93,17 @@ def stage_checksum(data_root: str, manifest_path: str | None) -> dict:
     return report
 
 
+def _check_members(root: str, names: list[str], archive: str) -> None:
+    """Refuse archive members that would extract outside ``root``."""
+    base = os.path.realpath(root)
+    for name in names:
+        dest = os.path.realpath(os.path.join(root, name))
+        if os.path.isabs(name) or not (dest == base or dest.startswith(base + os.sep)):
+            raise SystemExit(
+                f"refusing to extract {archive!r}: member {name!r} would "
+                f"land outside {root!r} (path traversal)")
+
+
 def stage_ingest(data_root: str, work: str, dataset: str, classes: list[str],
                  num_samples: int, seed: int = 0) -> str:
     """Extract archives if needed, verify layout, build slices/. Returns the
@@ -104,12 +115,19 @@ def stage_ingest(data_root: str, work: str, dataset: str, classes: list[str],
         os.makedirs(root, exist_ok=True)
         for f in sorted(os.listdir(data_root)):
             path = join(data_root, f)
+            # downloaded archives are untrusted input: reject members that
+            # would escape root (path traversal / absolute paths / links)
             if f.endswith(".zip"):
                 with zipfile.ZipFile(path) as zf:
+                    _check_members(root, zf.namelist(), path)
                     zf.extractall(root)
             elif f.endswith((".tar", ".tar.gz", ".tgz")):
                 with tarfile.open(path) as tf:
-                    tf.extractall(root)
+                    try:
+                        tf.extractall(root, filter="data")  # Python >= 3.12
+                    except TypeError:
+                        _check_members(root, tf.getnames(), path)
+                        tf.extractall(root)
         # the PCN zip nests everything under shape_net_core_uniform_samples_2048/
         # (reference download_shapenet_2048.py:33-40) — flatten it
         nested = join(root, "shape_net_core_uniform_samples_2048")
