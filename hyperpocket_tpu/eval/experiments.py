@@ -297,7 +297,8 @@ def _lowest_y_1024(recs: np.ndarray) -> np.ndarray:
 def evaluate_generativity(ctx: ExperimentContext, datasets_dict, results_dir: str, epoch,
                           batch_size=25, num_workers=8, mean=0.0, std=0.005,
                           dispatch_clouds=512, object_group_clouds=8192,
-                          noise_source="normal", include_1nna=False):
+                          noise_source="normal", include_1nna=False,
+                          parallel_data=None):
     """Reference core/experiments.py:63-104: per-object MMD/COV + JSD vs the
     category's missing-part population (per-object metric SUMS — the
     reference's quirk, preserved).
@@ -321,6 +322,13 @@ def evaluate_generativity(ctx: ExperimentContext, datasets_dict, results_dir: st
     feeds it to a DataLoader, core/experiments.py:69) but unused: the
     batched pipeline has no loader and sizes its own dispatches via
     ``dispatch_clouds``/``object_group_clouds``.
+
+    ``parallel_data`` (config key in this experiment's settings): shard the
+    pairwise CD/EMD matrix builds — the experiment's wall-clock wall at real
+    3D-EPN scale — over an N-device data mesh (``pairwise_emd_cd_multi``'s
+    ``mesh``). The reference fanned this out with Ray across GPUs
+    (utils/evaluation/completeness.py:53-88); here the same fan-out is a
+    shard_map over the mesh's data axis. Per-pair values are unchanged.
     """
     from hyperpocket_tpu.eval.metrics import (
         entropy_of_occupancy_grid,
@@ -332,6 +340,11 @@ def evaluate_generativity(ctx: ExperimentContext, datasets_dict, results_dir: st
     )
 
     os.makedirs(join(results_dir, "evaluate_generativity"), exist_ok=True)
+    mesh = None
+    if parallel_data and int(parallel_data) > 1:
+        from hyperpocket_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(int(parallel_data), 1)
     results: dict[str, dict] = {}
     for cat_name, ds in datasets_dict.items():
         if len(ds) == 0:
@@ -373,10 +386,12 @@ def evaluate_generativity(ctx: ExperimentContext, datasets_dict, results_dir: st
                 noise_source=noise_source,
             )
             recs = _lowest_y_1024(recs)
-            m_rs_cd, m_rs_emd = pairwise_emd_cd_multi(cat_gt, recs, dispatch_clouds)
+            m_rs_cd, m_rs_emd = pairwise_emd_cd_multi(cat_gt, recs, dispatch_clouds,
+                                                      mesh=mesh)
             per_object = mmd_cov_multi(m_rs_cd, m_rs_emd)
             if include_1nna:
-                m_ss_cd, m_ss_emd = pairwise_emd_cd_multi(recs, recs, dispatch_clouds)
+                m_ss_cd, m_ss_emd = pairwise_emd_cd_multi(recs, recs, dispatch_clouds,
+                                                          mesh=mesh)
                 for tag, m_rr, m_rs, m_ss in (("CD", m_rr_cd, m_rs_cd, m_ss_cd),
                                               ("EMD", m_rr_emd, m_rs_emd, m_ss_emd)):
                     res = jax.device_get(knn_batch_1nna(

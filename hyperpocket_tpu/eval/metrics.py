@@ -104,8 +104,7 @@ def pairwise_emd_cd(sample_pcs, ref_pcs, batch_size: int,
     return jnp.concatenate(rows_cd, axis=0), jnp.concatenate(rows_emd, axis=0)
 
 
-@jax.jit
-def _pair_ops(rows, cols, idx_r, idx_c):
+def _pair_ops_core(rows, cols, idx_r, idx_c):
     """CD + EMD for an explicit pair list: op(rows[idx_r[p]], cols[idx_c[p]]).
 
     Device-side gathers — rows/cols upload once per group, each chunk ships
@@ -118,7 +117,46 @@ def _pair_ops(rows, cols, idx_r, idx_c):
     return _chamfer_per_cloud(a, b), earth_mover_distance(a, b)
 
 
-def pairwise_emd_cd_multi(row_pcs, col_sets, pair_block: int = 512):
+_pair_ops = jax.jit(_pair_ops_core)
+
+# one compiled sharded pair-op per (mesh, shapes): meshes are hashable and
+# eval drivers build exactly one, so a tiny cache suffices
+_pair_ops_mesh_cache: dict = {}
+
+
+def _pair_ops_mesh(mesh):
+    """``_pair_ops`` data-parallel over ``mesh``'s data axis via shard_map.
+
+    The per-pair CD/EMD kernels are pair-independent, so sharding the pair
+    axis needs no collectives: rows/cols are replicated (they upload once per
+    group and every shard gathers its own pairs), the index vectors and the
+    per-pair outputs are split over ``DATA_AXIS``. shard_map (not sharded
+    jit) so the Pallas kernels see ordinary per-device shapes — the SPMD
+    partitioner has no sharding rule for custom calls.
+    """
+    fn = _pair_ops_mesh_cache.get(mesh)
+    if fn is None:
+        from jax.sharding import PartitionSpec as P
+
+        from hyperpocket_tpu.parallel.mesh import DATA_AXIS
+        from hyperpocket_tpu.parallel.point_sharding import shard_map
+
+        dp = P(DATA_AXIS)
+        # check_vma=False: the EMD op's lax.scan seeds its carry with
+        # unvarying zeros, which trips the varying-manual-axes check even
+        # though the computation is per-shard local (no collectives)
+        fn = jax.jit(shard_map(
+            _pair_ops_core,
+            mesh=mesh,
+            in_specs=(P(), P(), dp, dp),
+            out_specs=(dp, dp),
+            check_vma=False,
+        ))
+        _pair_ops_mesh_cache[mesh] = fn
+    return fn
+
+
+def pairwise_emd_cd_multi(row_pcs, col_sets, pair_block: int = 512, mesh=None):
     """(G, R, S) CD and EMD matrices: entry [g, i, j] = op(row_g_i, col_sets[g, j]).
 
     Flat-pair batching across OBJECTS (VERDICT r3 #3): evaluate_generativity
@@ -132,7 +170,23 @@ def pairwise_emd_cd_multi(row_pcs, col_sets, pair_block: int = 512):
     ``row_pcs`` is either one shared (R, Q, 3) set (every object against the
     same rows — the M_rs case) or per-object (G, R, Q, 3) sets (the M_ss
     self-distance case).
+
+    ``mesh`` (optional ``jax.sharding.Mesh`` with a data axis): shard each
+    pair chunk over the mesh's data axis — the pairs are independent, so the
+    matrix build is embarrassingly parallel (VERDICT r4 #6; the reference
+    fanned exactly this out with Ray, utils/evaluation/completeness.py). The
+    per-pair values are identical to the single-device path; the dryrun's
+    [eval] stage certifies the equality on a virtual mesh.
     """
+    if mesh is not None:
+        from hyperpocket_tpu.parallel.mesh import DATA_AXIS
+
+        n_shards = mesh.shape[DATA_AXIS]
+        # uniform chunks must split evenly over the data axis
+        pair_block = -(-pair_block // n_shards) * n_shards
+        pair_fn = _pair_ops_mesh(mesh)
+    else:
+        pair_fn = _pair_ops
     col_sets = jnp.asarray(col_sets)
     G, S = col_sets.shape[:2]
     col_flat = col_sets.reshape((G * S,) + tuple(col_sets.shape[2:]))
@@ -153,8 +207,8 @@ def pairwise_emd_cd_multi(row_pcs, col_sets, pair_block: int = 512):
         g, rem = np.divmod(idx, R * S)
         i, j = np.divmod(rem, S)
         r_idx = g * R + i if per_object_rows else i
-        c, e = _pair_ops(row_flat, col_flat,
-                         jnp.asarray(r_idx, jnp.int32), jnp.asarray(g * S + j, jnp.int32))
+        c, e = pair_fn(row_flat, col_flat,
+                       jnp.asarray(r_idx, jnp.int32), jnp.asarray(g * S + j, jnp.int32))
         cd_chunks.append(c)
         emd_chunks.append(e)
     # one fetch for the whole group (per-leaf np.asarray is seconds per leaf
@@ -239,14 +293,15 @@ def _mmd_cov_batch_core(all_dist):
     return jnp.mean(min_val, axis=1), jnp.mean(min_val_fromsmp, axis=1), min_idx
 
 
-def compute_all_metrics_multi(sample_sets, ref_pcs, pair_block: int = 512) -> list[dict]:
+def compute_all_metrics_multi(sample_sets, ref_pcs, pair_block: int = 512,
+                              mesh=None) -> list[dict]:
     """Per-object ``compute_all_metrics``, batched across objects.
 
     ``[g]`` equals ``compute_all_metrics(sample_sets[g], ref_pcs, ...)`` —
     same pairwise values (pairwise_emd_cd_multi), same mmd_cov reductions
     (one batched dispatch instead of per-object jnp round-trips).
     """
-    m_cd, m_emd = pairwise_emd_cd_multi(ref_pcs, sample_sets, pair_block)
+    m_cd, m_emd = pairwise_emd_cd_multi(ref_pcs, sample_sets, pair_block, mesh=mesh)
     return mmd_cov_multi(m_cd, m_emd)
 
 

@@ -305,3 +305,32 @@ def test_pairwise_multi_per_object_rows():
         cd_g, emd_g = pairwise_emd_cd(sets_[g], sets_[g], batch_size=3)
         np.testing.assert_allclose(m_cd[g], np.asarray(cd_g), rtol=1e-5, atol=1e-7)
         np.testing.assert_allclose(m_emd[g], np.asarray(emd_g), rtol=1e-5, atol=1e-7)
+
+
+def test_pairwise_multi_mesh_matches_single():
+    """VERDICT r4 #6: the pairwise matrix build sharded over an 8-way data
+    mesh is bit-identical to the single-device path — the pairs are
+    independent, sharding only re-tiles the dispatch. Covers the shared-rows
+    (M_rs), per-object-rows (M_ss) and pad-tail (pair_block not dividing
+    G*R*S) cases, plus pair_block rounding to a mesh multiple."""
+    from hyperpocket_tpu.eval.metrics import pairwise_emd_cd_multi
+    from hyperpocket_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(8)
+    G, R, S, Q = 3, 6, 5, 48
+    rows = (rng.standard_normal((R, Q, 3)) * 0.2).astype(np.float32)
+    cols = (rng.standard_normal((G, S, Q, 3)) * 0.2).astype(np.float32)
+    mesh = make_mesh(8, 1)
+
+    # pair_block=10 is not a multiple of 8: the mesh path must round up
+    # to 16 and still slice the pad away
+    cd0, emd0 = pairwise_emd_cd_multi(rows, cols, pair_block=10)
+    cd1, emd1 = pairwise_emd_cd_multi(rows, cols, pair_block=10, mesh=mesh)
+    np.testing.assert_array_equal(np.asarray(cd0), np.asarray(cd1))
+    np.testing.assert_array_equal(np.asarray(emd0), np.asarray(emd1))
+
+    rows_po = (rng.standard_normal((G, R, Q, 3)) * 0.2).astype(np.float32)
+    a_cd, a_emd = pairwise_emd_cd_multi(rows_po, cols, pair_block=16)
+    b_cd, b_emd = pairwise_emd_cd_multi(rows_po, cols, pair_block=16, mesh=mesh)
+    np.testing.assert_array_equal(np.asarray(a_cd), np.asarray(b_cd))
+    np.testing.assert_array_equal(np.asarray(a_emd), np.asarray(b_emd))
