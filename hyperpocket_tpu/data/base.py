@@ -18,6 +18,31 @@ class Dataset(Protocol):
     def __getitem__(self, idx: int) -> tuple[Any, Any, Any, Any]: ...
 
 
+class ConcatDataset:
+    """Sequential concatenation of datasets (bounds-checked).
+
+    Backs ``dataset.multiclass_train`` (the reference's 3depn train branch
+    reads one class; see get_datasets) and any caller needing one index
+    space over per-class sets.
+    """
+
+    def __init__(self, parts):
+        self.parts = list(parts)
+        self._lens = [len(p) for p in self.parts]
+
+    def __len__(self) -> int:
+        return sum(self._lens)
+
+    def __getitem__(self, idx: int):
+        if not 0 <= idx < len(self):
+            raise IndexError(idx)
+        for part, n in zip(self.parts, self._lens):
+            if idx < n:
+                return part[idx]
+            idx -= n
+        raise IndexError(idx)  # unreachable
+
+
 def get_datasets(config: dict):
     """name -> (train_dataset, val_dataset_dict, test_dataset_dict).
 
@@ -57,22 +82,29 @@ def get_datasets(config: dict):
     if name == "3depn":
         from hyperpocket_tpu.data.shapenet_3depn import ShapeNet3DEPNDataset
 
-        train = ShapeNet3DEPNDataset(
+        classes = config.get("classes", [])
+        common = dict(
             root_dir=config["path"],
-            split="train",
-            classes=config.get("classes", []),
             num_samples=config.get("num_samples", 4),
             cache=config.get("cache", False),
             split_by_csv=config.get("split_by_csv", False),
         )
-        val = ShapeNet3DEPNDataset.get_validation_datasets(
-            config["path"], classes=config.get("classes", []),
-            num_samples=config.get("num_samples", 4),
-            cache=config.get("cache", False),
-            split_by_csv=config.get("split_by_csv", False),
-        )
+        if config.get("multiclass_train", False) and len(classes) > 1:
+            # framework extension: the reference's 3depn train branch reads
+            # classes[0] only (shapenet_3depn.py:102-104 — it ships per-class
+            # configs, so multi-class training does not exist upstream);
+            # multiclass_train=true concatenates real per-class train sets
+            from hyperpocket_tpu.data.category_mapping import normalize_classes
+
+            train = ConcatDataset([
+                ShapeNet3DEPNDataset(split="train", classes=[c], **common)
+                for c in normalize_classes(list(classes))
+            ])
+        else:
+            train = ShapeNet3DEPNDataset(split="train", classes=classes, **common)
+        val = ShapeNet3DEPNDataset.get_validation_datasets(classes=classes, **common)
         test = ShapeNet3DEPNDataset.get_test_datasets(
-            config["path"], classes=config.get("classes", [])
+            config["path"], classes=classes
         )
         return train, val, test
     raise ValueError(

@@ -128,6 +128,21 @@ class ShapeNet3DEPNDataset:
             rng = random.Random(1234)  # fixed stream from the original publication
             self._raw_choice = [rng.randint(0, 7) for _ in self.shape_names]
         else:
+            if len(classes) > 1:
+                # REFERENCE QUIRK, preserved: the train/val branches read
+                # classes[0] ONLY (reference shapenet_3depn.py:102-104), so a
+                # multi-class 3depn TRAINING config silently trains on the
+                # first class while per-category val covers all of them. The
+                # reference only ever ships per-class 3depn configs, so it
+                # never trips this; warn loudly instead of silently dropping
+                # categories. dataset.multiclass_train: true (framework
+                # extension, data/base.py::get_datasets) concatenates real
+                # per-class train sets instead.
+                logging.getLogger().warning(
+                    "3depn %s split uses ONLY the first class %s of %s "
+                    "(reference parity; set dataset.multiclass_train=true "
+                    "for a concatenated multi-class train set)",
+                    split, classes[0], classes)
             self.cat = classes[0]
             self.shape_names = sorted(os.listdir(join(root_dir, "slices", "gt", classes[0])))
             if split_by_csv:

@@ -304,3 +304,49 @@ def test_synthetic_3depn_table_family(tmp_path):
     z = pts[:, 2]
     assert z.max() - z.min() > 0.15
     assert (z < z.max() - 0.1).sum() > 50
+
+
+def test_3depn_multiclass_train_extension(tmp_path, caplog):
+    """Reference quirk + extension: the 3depn train branch reads classes[0]
+    only (reference shapenet_3depn.py:102-104 — it only ships per-class
+    configs), so a multi-class parity config must warn loudly and
+    dataset.multiclass_train=true must concatenate real per-class sets."""
+    import logging
+
+    from hyperpocket_tpu.data.base import get_datasets
+
+    cat2 = "02691156"  # airplane
+    make_3depn_tree(tmp_path)
+    # second category: 2 models, same layout
+    rng = np.random.default_rng(7)
+    rows = list(csv.reader(open(join(tmp_path, "shapenet-official-split.csv"))))
+    for d in ("existing", "missing", "gt"):
+        os.makedirs(join(tmp_path, "slices", d, cat2), exist_ok=True)
+    for i in range(2):
+        name = f"a{i:02d}"
+        gt = rng.standard_normal((256, 3)).astype(np.float32)
+        save_ply(join(tmp_path, "slices", "gt", cat2, name + ".ply"), gt)
+        for k in range(2):
+            save_ply(join(tmp_path, "slices", "existing", cat2, f"{k}~{name}.ply"), gt[:128])
+            save_ply(join(tmp_path, "slices", "missing", cat2, f"{k}~{name}.ply"), gt[128:])
+        rows.append([f"9{i:05d}", cat2, cat2, name, "train"])
+    with open(join(tmp_path, "shapenet-official-split.csv"), "w", newline="") as fh:
+        csv.writer(fh).writerows(rows)
+
+    cfg = {"name": "3depn", "path": str(tmp_path), "classes": [CAT, cat2],
+           "num_samples": 2}
+    # parity default: classes[0] only, with a warning
+    with caplog.at_level(logging.WARNING):
+        train, val, test = get_datasets(cfg)
+    assert len(train) == 6  # 3 chair models x 2 samples; airplanes DROPPED
+    assert any("ONLY the first class" in r.message for r in caplog.records)
+    assert set(val) == {"chair", "airplane"}
+
+    # extension: true multi-class concat
+    train2, _, _ = get_datasets({**cfg, "multiclass_train": True})
+    assert len(train2) == 6 + 4  # + 2 airplane models x 2 samples
+    labels = {train2[i][3] for i in range(len(train2))}
+    assert {"m00", "a00"} <= labels
+    import pytest as _pytest
+    with _pytest.raises(IndexError):
+        train2[len(train2)]

@@ -4,14 +4,18 @@
 # Launch DETACHED so it survives session restarts:
 #   setsid nohup bash util_scripts/r5_runner.sh > /dev/null 2>&1 &
 #
-# Queue (VERDICT r4 items 1+4): three 200-epoch multicat training arms on the
-# same corpus/seed as dress_rehearsal_multicat (fp32-highest, best val 197.27)
-# and dress_rehearsal_multicat_bf16 (bf16, 460.24):
-#   1. results/multicat_fp32high    — matmul_precision=high throughout
+# Queue (VERDICT r4 items 1+4): five 200-epoch multicat training arms, ALL
+# on the regenerated round-5 corpus (util_scripts/make_r5_corpus.sh — the
+# round-4 corpus was lost with the VM, so the ranking re-anchors here):
+#   1. results/multicat_fp32_base   — fp32-highest baseline anchor
+#      (+ full experiments pass)
+#   2. results/multicat_fp32high    — matmul_precision=high throughout
 #      (+ the full experiments pass, for MMD/UHD/TMD comparability)
-#   2. results/precision_switch_e50 — bf16 epochs 1-50, fp32-highest after
-#   3. results/composed_fast        — bf16->fp32-high@50 + bf16 Adam moments
+#   3. results/precision_switch_e50 — bf16 epochs 1-50, fp32-highest after
+#   4. results/composed_fast        — bf16->fp32-high@50 + bf16 Adam moments
 #                                     + rbg keys (the composed fast recipe)
+#   5. results/multicat_bf16_r5     — bf16 end-to-end re-anchor (last; the
+#                                     deadline may cut it)
 #
 # Safety rules (observed-the-hard-way, CLAUDE.md): one axon client at a time;
 # never kill a healthy in-flight client; wedge = log silent >25 min, kill BY
@@ -20,7 +24,8 @@
 
 set -u
 REPO=/root/repo
-ARMS=(multicat_fp32high precision_switch_e50 composed_fast)
+ARMS=(multicat_fp32_base multicat_fp32high precision_switch_e50 composed_fast)
+LATE_ARMS=(multicat_bf16_r5)
 RLOG=$REPO/results/r5_runner.log
 STOP=$REPO/results/R5_STOP
 WEDGE_S=1500
@@ -105,21 +110,44 @@ for arm in "${ARMS[@]}"; do
   touch "$OUT/TRAINING_DONE"
 done
 
-# experiments pass on the fp32-high arm only (metric comparability vs the
-# fp32-highest and bf16 rehearsal numbers in REHEARSALS.md)
-OUT=$REPO/results/multicat_fp32high
-if [ -f "$OUT/TRAINING_DONE" ] && [ ! -f "$OUT/experiments_summary.json" ]; then
+# experiments passes on the baseline and fp32-high arms (metric
+# comparability on the SAME corpus/weights-recipe axis)
+for arm in multicat_fp32_base multicat_fp32high; do
+  OUT=$REPO/results/$arm
+  [ -f "$OUT/TRAINING_DONE" ] || continue
+  [ -f "$OUT/experiments_summary.json" ] && continue
   while true; do
     [ -f "$STOP" ] && { note "STOP file: exiting"; exit 0; }
     [ "$(date +%s)" -ge "$DEADLINE_S" ] && { note "deadline before experiments"; exit 0; }
     wait_healthy || exit 0
-    if run_stage fp32high_experiments \
-        python util_scripts/dress_rehearsal_multicat.py "results/multicat_fp32high"; then
+    if run_stage ${arm}_experiments \
+        python util_scripts/dress_rehearsal_multicat.py "results/$arm"; then
       break
     fi
     note "experiments stage failed; retrying after health re-poll"
     sleep 60
   done
-fi
+done
+
+# bf16 re-anchor arm LAST: lower-value (the old-corpus 2.3x quality gap is
+# robust evidence already), so it only gets whatever budget remains
+for arm in "${LATE_ARMS[@]}"; do
+  OUT=$REPO/results/$arm
+  CONFIG=$OUT/config.json
+  [ -f "$CONFIG" ] || continue
+  MAX_EPOCH=$(python -c "import json;print(json.load(open('$CONFIG'))['training']['max_epoch'])")
+  while true; do
+    [ -f "$STOP" ] && { note "STOP file: exiting"; exit 0; }
+    ep=$(epochs_done "$CONFIG"); ep=${ep:-0}
+    note "$arm resumable epochs: $ep / $MAX_EPOCH"
+    if [ "$ep" -ge "$MAX_EPOCH" ]; then touch "$OUT/TRAINING_DONE"; break; fi
+    if [ "$(date +%s)" -ge "$DEADLINE_S" ]; then
+      note "deadline passed with $arm incomplete; exiting"
+      exit 0
+    fi
+    wait_healthy || { note "STOP during health wait"; exit 0; }
+    run_stage "${arm}_training" python -m hyperpocket_tpu.cli -c "$CONFIG"
+  done
+done
 note "=== r5 runner done ==="
 touch $REPO/results/R5_RUNNER_DONE
