@@ -96,9 +96,12 @@ def get_datasets(config: dict):
             # multiclass_train=true concatenates real per-class train sets
             from hyperpocket_tpu.data.category_mapping import normalize_classes
 
+            # dedup after normalization: a config listing both a name and
+            # its synset id ('airplane' + '02691156') must not concatenate
+            # the same train set twice (val collapses them into one key)
             train = ConcatDataset([
                 ShapeNet3DEPNDataset(split="train", classes=[c], **common)
-                for c in normalize_classes(list(classes))
+                for c in dict.fromkeys(normalize_classes(list(classes)))
             ])
         else:
             train = ShapeNet3DEPNDataset(split="train", classes=classes, **common)

@@ -377,8 +377,15 @@ def evaluate_generativity(ctx: ExperimentContext, datasets_dict, results_dir: st
         cat_results: dict[str, float] = {}
         group = max(1, object_group_clouds // max(n_gen, 1))
         if include_1nna:
-            # ref-ref matrix is object-independent: once per category
-            m_rr_cd, m_rr_emd = pairwise_emd_cd(cat_gt, cat_gt, batch_size)
+            # ref-ref matrix is object-independent: once per category. Under
+            # a mesh it is the same O(n_gen^2) pair work the mesh shards —
+            # route it through the flat-pair path (per-pair values identical)
+            if mesh is not None:
+                rr = pairwise_emd_cd_multi(cat_gt, cat_gt[None], dispatch_clouds,
+                                           mesh=mesh)
+                m_rr_cd, m_rr_emd = rr[0][0], rr[1][0]
+            else:
+                m_rr_cd, m_rr_emd = pairwise_emd_cd(cat_gt, cat_gt, batch_size)
         for o0 in range(0, len(ds), group):
             objs = existing_objs[o0 : o0 + group]
             recs = _generate_completion_sets(

@@ -142,16 +142,16 @@ def _pair_ops_mesh(mesh):
         from hyperpocket_tpu.parallel.point_sharding import shard_map
 
         dp = P(DATA_AXIS)
-        # check_vma=False: the EMD op's lax.scan seeds its carry with
-        # unvarying zeros, which trips the varying-manual-axes check even
-        # though the computation is per-shard local (no collectives)
-        fn = jax.jit(shard_map(
-            _pair_ops_core,
-            mesh=mesh,
-            in_specs=(P(), P(), dp, dp),
-            out_specs=(dp, dp),
-            check_vma=False,
-        ))
+        # The varying-check must be off: the EMD op's lax.scan seeds its
+        # carry with unvarying zeros, which trips the check even though the
+        # computation is per-shard local (no collectives). The kwarg is
+        # check_vma on jax >= 0.8's jax.shard_map; the experimental fallback
+        # point_sharding may import on older jax spells it check_rep.
+        specs = dict(mesh=mesh, in_specs=(P(), P(), dp, dp), out_specs=(dp, dp))
+        try:
+            fn = jax.jit(shard_map(_pair_ops_core, check_vma=False, **specs))
+        except TypeError:
+            fn = jax.jit(shard_map(_pair_ops_core, check_rep=False, **specs))
         _pair_ops_mesh_cache[mesh] = fn
     return fn
 

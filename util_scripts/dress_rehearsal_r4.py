@@ -56,20 +56,9 @@ class _Subset:
         return self.ds[i]
 
 
-class _ConcatDataset:
-    def __init__(self, parts):
-        self.parts = list(parts)
-        self._len = sum(len(p) for p in self.parts)
-
-    def __len__(self):
-        return self._len
-
-    def __getitem__(self, idx):
-        for p in self.parts:
-            if idx < len(p):
-                return p[idx]
-            idx -= len(p)
-        raise IndexError(idx)
+# one concat implementation for the whole repo (bounds-checked); kept under
+# the old name so the sibling drivers' imports stay stable
+from hyperpocket_tpu.data.base import ConcatDataset as _ConcatDataset  # noqa: E402
 
 
 def _scoped_config(config, names):

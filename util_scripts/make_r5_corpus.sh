@@ -16,6 +16,16 @@ set -eu
 cd "$(dirname "$0")/.."
 OUT=${1:-/root/data/3depn_multicat}
 python util_scripts/make_synthetic_3depn.py "$OUT" 200 150 1856 v2 167
-# slicing reads dataset.path from the config; default points at $OUT
-python util_scripts/generate_partial_dataset.py -c results/multicat_fp32_base/config.json
+# slicing reads dataset.path from a config: derive one pointing at $OUT so a
+# custom output dir slices the corpus it just generated (the slicer's
+# per-model RNG is (setup.seed, category, model)-keyed — path-independent)
+SLICE_CFG=$(mktemp --suffix=.json)
+python - "$OUT" "$SLICE_CFG" <<'EOF'
+import json, sys
+cfg = json.load(open("results/multicat_fp32_base/config.json"))
+cfg["dataset"]["path"] = sys.argv[1]
+json.dump(cfg, open(sys.argv[2], "w"))
+EOF
+python util_scripts/generate_partial_dataset.py -c "$SLICE_CFG"
+rm -f "$SLICE_CFG"
 echo "corpus at $OUT: 517 models (chair 200 / airplane 150 / table 167), v2"

@@ -53,6 +53,9 @@ def main():
         print(f"{arm}: no epochs parsed from {log_path}")
         return
     with_val = [e for e in epochs if e["val_total"] is not None]
+    if not with_val:
+        print(f"{arm}: {len(epochs)} train epochs but no val rows yet in {log_path}")
+        return
     best = min(with_val, key=lambda e: e["val_total"])
     first, last = epochs[0], epochs[-1]
     out = {
@@ -67,14 +70,20 @@ def main():
         "new_best_count": sum(e["new_best"] for e in with_val),
         "epoch1_fingerprint": first["train_loss"],
     }
-    # wall-clock: first to last log timestamp
+    # Active wall-clock: sum of inter-timestamp gaps, capping any gap at 30
+    # min so a crash-resumed run (the runner's normal recovery mode) does not
+    # report client downtime as training cost. Year-less %m-%d stamps: clamp
+    # negative gaps (year wrap) to 0.
     stamps = re.findall(r"(\d\d-\d\d \d\d:\d\d:\d\d)", open(log_path).read())
     if len(stamps) >= 2:
         from datetime import datetime
 
-        t0 = datetime.strptime(stamps[0], "%m-%d %H:%M:%S")
-        t1 = datetime.strptime(stamps[-1], "%m-%d %H:%M:%S")
-        out["wall_min"] = round((t1 - t0).total_seconds() / 60.0, 1)
+        ts = [datetime.strptime(s, "%m-%d %H:%M:%S") for s in stamps]
+        gaps = [(b - a).total_seconds() for a, b in zip(ts, ts[1:])]
+        active = sum(min(max(g, 0.0), 1800.0) for g in gaps)
+        out["wall_min"] = round(active / 60.0, 1)
+        if any(g > 1800.0 or g < 0.0 for g in gaps):
+            out["wall_min_note"] = "gaps >30min (crash-resume?) excluded"
     print(json.dumps(out, indent=1))
 
 
