@@ -223,12 +223,16 @@ def run_bench(batch: int = 256, iters: int = 60, warmup: int = 5) -> dict:
 
     # ---- recommended training configuration --------------------------------
     # The convergence-validated fast recipe (results/REHEARSALS.md, round-5
-    # precision ranking): fp32 compute for the quality-bearing phase with
-    # matmul_precision="high" (3-pass MXU), bf16 Adam moments, hardware rbg
-    # keys. bf16 end-to-end training is EARLY-PHASE ONLY — the 200-epoch
-    # multicat A/B measured best val 460.24 vs fp32's 197.27 (2.3x worse), so
-    # the train_bf16_* fields above describe the pre-divergence phase of a
-    # compute_dtype_switch schedule, not a standalone training mode.
+    # precision ranking): bf16 compute until the progressive-normalization
+    # knee, then compute_dtype_switch to fp32 with matmul_precision="high"
+    # (3-pass MXU), bf16 Adam moments, hardware rbg keys throughout. The
+    # timing below is the recipe's LATE (quality-bearing, fp32-high) phase —
+    # the early phase runs at the train_bf16_* speed above. Across two
+    # 200-epoch corpora the switch recipe was never worse than pure
+    # fp32-highest (it won outright on the round-5 corpus, best val 77.95 vs
+    # 483.25), while PURE bf16 and PURE fp32 each ranked best-or-worst
+    # depending on the corpus — late-phase convergence is trajectory-
+    # dominated, and the switch recipe is the variance hedge.
     step_rec = make_train_step(model, tx_m16, loss_coef=0.05, prng_impl="rbg")
     with jax.default_matmul_precision("high"):  # traced on first (warmup) call
         train_rec_dt, train_rec_med, train_rec_spread = measure_train_stats(
@@ -287,7 +291,7 @@ def run_bench(batch: int = 256, iters: int = 60, warmup: int = 5) -> dict:
         "train_bf16_step_ms": round(1e3 * train_bf16_dt, 3),
         "train_bf16_clouds_per_sec": round(train_batch / train_bf16_dt, 1),
         "train_bf16_mom16_step_ms": round(1e3 * train_bf16_m16_dt, 3),
-        "train_bf16_note": "early-phase only: standalone bf16 training converges 2.3x worse at 200 epochs (REHEARSALS.md bf16 A/B); use compute_dtype_switch",
+        "train_bf16_note": "standalone bf16 at 200 epochs is corpus-dependent (2.3x worse on the r4 corpus, fp32-equivalent on the r5 corpus — REHEARSALS.md); the bf16->fp32 compute_dtype_switch recipe was never worse than fp32 on either",
         "emd_ms_per_sample": round(1e3 * emd_dt / (emd_iters * kb), 4),
         "chamfer_value_and_grad_ms_b64": round(1e3 * cvg_dt / cvg_iters, 3),
     }
