@@ -86,16 +86,16 @@ run_stage() { # $1 = stage name, $2... = command
   return "$rc"
 }
 
-note "=== r5 runner start (deadline $(date -u -d @$DEADLINE_S +%FT%TZ)) ==="
-
-for arm in "${ARMS[@]}"; do
-  OUT=$REPO/results/$arm
-  CONFIG=$OUT/config.json
-  [ -f "$CONFIG" ] || { note "SKIP $arm: no config"; continue; }
+train_arm() { # $1 = arm name; crash-resume training to max_epoch
+  local arm=$1
+  local OUT=$REPO/results/$arm
+  local CONFIG=$OUT/config.json
+  [ -f "$CONFIG" ] || { note "SKIP $arm: no config"; return 0; }
+  local MAX_EPOCH
   MAX_EPOCH=$(python -c "import json;print(json.load(open('$CONFIG'))['training']['max_epoch'])")
-  # training to max_epoch, crash-resume
   while true; do
     [ -f "$STOP" ] && { note "STOP file: exiting"; exit 0; }
+    local ep
     ep=$(epochs_done "$CONFIG"); ep=${ep:-0}
     note "$arm resumable epochs: $ep / $MAX_EPOCH"
     if [ "$ep" -ge "$MAX_EPOCH" ]; then break; fi
@@ -108,6 +108,12 @@ for arm in "${ARMS[@]}"; do
   done
   note "$arm training complete ($MAX_EPOCH epochs)"
   touch "$OUT/TRAINING_DONE"
+}
+
+note "=== r5 runner start (deadline $(date -u -d @$DEADLINE_S +%FT%TZ)) ==="
+
+for arm in "${ARMS[@]}"; do
+  train_arm "$arm"
 done
 
 # experiments passes on the baseline and fp32-high arms (metric
@@ -129,25 +135,10 @@ for arm in multicat_fp32_base multicat_fp32high; do
   done
 done
 
-# bf16 re-anchor arm LAST: lower-value (the old-corpus 2.3x quality gap is
-# robust evidence already), so it only gets whatever budget remains
+# bf16 re-anchor arm LAST: lower-value going in (though it ended up
+# overturning the r4 plateau claim), so it only gets the remaining budget
 for arm in "${LATE_ARMS[@]}"; do
-  OUT=$REPO/results/$arm
-  CONFIG=$OUT/config.json
-  [ -f "$CONFIG" ] || continue
-  MAX_EPOCH=$(python -c "import json;print(json.load(open('$CONFIG'))['training']['max_epoch'])")
-  while true; do
-    [ -f "$STOP" ] && { note "STOP file: exiting"; exit 0; }
-    ep=$(epochs_done "$CONFIG"); ep=${ep:-0}
-    note "$arm resumable epochs: $ep / $MAX_EPOCH"
-    if [ "$ep" -ge "$MAX_EPOCH" ]; then touch "$OUT/TRAINING_DONE"; break; fi
-    if [ "$(date +%s)" -ge "$DEADLINE_S" ]; then
-      note "deadline passed with $arm incomplete; exiting"
-      exit 0
-    fi
-    wait_healthy || { note "STOP during health wait"; exit 0; }
-    run_stage "${arm}_training" python -m hyperpocket_tpu.cli -c "$CONFIG"
-  done
+  train_arm "$arm"
 done
 note "=== r5 runner done ==="
 touch $REPO/results/R5_RUNNER_DONE
